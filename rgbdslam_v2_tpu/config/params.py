@@ -1,0 +1,197 @@
+"""Parameter server: one registry of named, typed, documented options.
+
+Capability parity: the reference's ParameterServer singleton defines ~100
+typed options with defaults + descriptions in one table
+(reference: src/parameter_server.cpp:22-173), overridable from launch files /
+CLI / GUI, with cross-parameter consistency checks (:226-249). Here the same
+*names and semantics* are kept for the SLAM-relevant subset, loadable from
+YAML-ish config files and CLI ``key=value`` pairs. TPU-specific options are
+added under the same scheme (static capacities, batch sizes, precision).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict
+
+
+@dataclasses.dataclass(frozen=True)
+class ParamDef:
+    name: str
+    default: Any
+    doc: str
+
+
+def _p(name, default, doc):
+    return ParamDef(name, default, doc)
+
+
+# Reference-parity options keep the reference's names (src/parameter_server.cpp:22-173).
+# TPU-native additions are marked [tpu].
+PARAM_DEFS = [
+    # ---- input / frontend ----
+    _p("feature_detector_type", "ORB", "ORB or SIFT (SIFTGPU maps to SIFT: TPU SIFT kernel)"),
+    _p("feature_extractor_type", "ORB", "ORB or SIFT descriptor"),
+    _p("max_keypoints", 600, "fixed keypoint budget per frame (static shape)"),
+    _p("min_keypoints", 50, "warn below this many valid keypoints"),
+    _p("detector_grid_resolution", 3, "detect per grid cell (NxN) to spread keypoints"),
+    _p("squareroot_descriptor_space", True, "RootSIFT: compare SIFT in sqrt(L1) space"),
+    _p("max_matches", 300, "keep strongest N matches (static shape)"),
+    _p("nn_distance_ratio", 0.95, "Lowe ratio test threshold (ORB default 0.95, SIFT 0.5-0.8)"),
+    _p("sufficient_matches", 1800, "skip additional candidate evaluation above this"),
+    _p("min_matches", 20, "matches below this -> edge rejected"),
+    _p("data_skip_step", 1, "process every n-th frame"),
+    _p("skip_first_n_frames", 0, "drop initial frames"),
+    _p("cloud_creation_skip_step", 2, "subsample the point grid by this step"),
+    _p("maximum_depth", 10.0, "depth clip (m)"),
+    _p("minimum_depth", 0.1, "depth clip (m)"),
+    _p("sigma_depth", 0.01, "depth noise: stddev = sigma_depth * z^2"),
+    # ---- pairwise registration ----
+    _p("ransac_iterations", 200, "RANSAC hypothesis count (batched on TPU)"),
+    _p("sample_candidates", 4, "correspondences per RANSAC hypothesis"),
+    _p("max_dist_for_inliers", 3.0, "Mahalanobis distance threshold (squared test)"),
+    _p("refine_iterations", 4, "post-RANSAC weighted refit rounds"),
+    _p("min_sampled_candidates", 4, "min graph-neighbor candidates sampled"),
+    _p("observability_threshold", 0.0, "EMM: required inlier fraction; <=0 disables"),
+    _p("emm_skip_step", 2, "EMM subsampling stride over pixels"),
+    _p("use_icp", False, "GICP refinement fallback"),
+    _p("icp_max_iterations", 20, "GICP Gauss-Newton rounds"),
+    _p("g2o_transformation_refinement", 0, "extra least-squares pose refinement rounds"),
+    # ---- motion gates (per-second thresholds; reference misc.cpp:272-344) ----
+    _p("min_translation_meter", 0.0, "drop frame if motion below (redundancy filter)"),
+    _p("min_rotation_degree", 0.0, "drop frame if rotation below"),
+    _p("max_translation_meter", 1e10, "reject edge if translation above (sanity)"),
+    _p("max_rotation_degree", 1e10, "reject edge if rotation above"),
+    # ---- graph / backend ----
+    _p("connectivity", 6, "candidates: immediate predecessors"),
+    _p("geodesic_depth", 3, "candidates: geodesic-neighborhood depth"),
+    _p("predecessor_candidates", 4, "sequential candidates"),
+    _p("neighbor_candidates", 4, "graph-neighbor candidates"),
+    _p("keep_all_nodes", False, "constant-position edge when no match (stay connected)"),
+    _p("keep_good_nodes", False, "keep unmatched nodes if they have enough features"),
+    _p("clear_non_keyframes", False, "free per-frame data for non-keyframes"),
+    _p("optimizer_skip_step", 1, "optimize every n-th node"),
+    _p("optimizer_iterations", 20, "max LM/GN iterations per optimize call"),
+    _p("backend_solver", "pcg", "pcg (block-Jacobi CG) or cholesky (dense)"),
+    _p("pose_relative_to", "first", "vertex fixation: first|previous|inaffected|largest_loop"),
+    _p("edge_error_threshold", 5.0, "prune edges with chi2 error above (protocol levels)"),
+    _p("huber_delta", 1.0, "robust kernel width for graph edges"),
+    _p("odometry_information_factor", 1e6, "weight of odometry edges"),
+    _p("use_robot_odom", False, "add odometry edges between consecutive nodes"),
+    _p("constant_position_information", 1e-3, "info scale of fallback edges"),
+    # ---- mapping / output ----
+    _p("octomap_resolution", 0.05, "voxel edge length (m)"),
+    _p("octomap_clamping_min", 0.12, "occupancy clamp low (prob)"),
+    _p("octomap_clamping_max", 0.97, "occupancy clamp high (prob)"),
+    _p("octomap_prob_hit", 0.7, "hit update probability"),
+    _p("octomap_prob_miss", 0.4, "miss update probability"),
+    _p("octomap_occupancy_threshold", 0.5, "occupied decision threshold"),
+    _p("octomap_online_creation", False, "insert clouds during mapping"),
+    _p("octomap_autosave_step", 50, "autosave every N clouds"),
+    _p("voxelfilter_size", -1.0, "cloud voxel-grid downsample size (m); <=0 off"),
+    # ---- pipeline ----
+    _p("batch_processing", False, "offline evaluation mode (5-level protocol)"),
+    _p("store_pointclouds", True, "retain clouds for mapping/export"),
+    _p("fixed_frame_name", "/map", "world frame name in outputs"),
+    _p("base_frame_name", "/openni_camera", "sensor/base frame name"),
+    # ---- [tpu] static capacities & precision ----
+    _p("tpu_max_nodes", 4096, "[tpu] pose-graph node capacity"),
+    _p("tpu_max_edges", 65536, "[tpu] pose-graph edge capacity"),
+    _p("tpu_candidate_batch", 8, "[tpu] candidate pairs registered per device call"),
+    _p("tpu_descriptor_dtype", "int8", "[tpu] descriptor storage (int8 +-1 / bf16)"),
+    _p("tpu_image_height", 480, "[tpu] static frame height"),
+    _p("tpu_image_width", 640, "[tpu] static frame width"),
+    _p("tpu_mesh_devices", 1, "[tpu] devices in the candidate-sharding mesh"),
+    _p("tpu_seed", 0, "[tpu] PRNG seed for RANSAC / sampling"),
+]
+
+_DEFS_BY_NAME = {d.name: d for d in PARAM_DEFS}
+
+
+class ParameterServer:
+    """Typed key-value config with reference-parity names.
+
+    Unlike the reference's mutable singleton, instances are explicit; a
+    process-default instance is available via :func:`default_params`.
+    """
+
+    def __init__(self, overrides: Dict[str, Any] | None = None):
+        self._values: Dict[str, Any] = {d.name: d.default for d in PARAM_DEFS}
+        if overrides:
+            for k, v in overrides.items():
+                self.set(k, v)
+
+    def get(self, name: str):
+        try:
+            return self._values[name]
+        except KeyError:
+            raise KeyError(f"unknown parameter {name!r}") from None
+
+    def set(self, name: str, value: Any):
+        if name not in _DEFS_BY_NAME:
+            raise KeyError(f"unknown parameter {name!r}")
+        default = _DEFS_BY_NAME[name].default
+        # Coerce to the default's type (typed options like the reference).
+        if isinstance(default, bool):
+            if isinstance(value, str):
+                value = value.lower() in ("1", "true", "yes", "on")
+            value = bool(value)
+        elif isinstance(default, int) and not isinstance(default, bool):
+            value = int(value)
+        elif isinstance(default, float):
+            value = float(value)
+        elif isinstance(default, str):
+            value = str(value)
+        self._values[name] = value
+        return value
+
+    def __getitem__(self, name):
+        return self.get(name)
+
+    def __setitem__(self, name, value):
+        self.set(name, value)
+
+    def as_dict(self) -> Dict[str, Any]:
+        return dict(self._values)
+
+    def check_values(self):
+        """Cross-parameter consistency checks (reference :226-249)."""
+        warnings = []
+        if self.get("nn_distance_ratio") >= 1.0:
+            warnings.append("nn_distance_ratio >= 1 disables the ratio test")
+        if self.get("max_keypoints") < self.get("min_matches"):
+            warnings.append("max_keypoints below min_matches: no edge can ever form")
+        if self.get("sample_candidates") < 3:
+            warnings.append("sample_candidates < 3 cannot constrain SE(3); forcing 3")
+            self.set("sample_candidates", 3)
+        return warnings
+
+    # -- persistence ---------------------------------------------------
+    def save(self, path):
+        Path(path).write_text(json.dumps(self._values, indent=2, sort_keys=True))
+
+    @classmethod
+    def load(cls, path):
+        return cls(json.loads(Path(path).read_text()))
+
+    @classmethod
+    def from_cli(cls, pairs):
+        """Build from ['key=value', ...] CLI overrides."""
+        out = {}
+        for pair in pairs:
+            k, _, v = pair.partition("=")
+            if not _:
+                raise ValueError(f"expected key=value, got {pair!r}")
+            out[k.strip()] = v.strip()
+        return cls(out)
+
+
+_DEFAULT: ParameterServer | None = None
+
+
+def default_params() -> ParameterServer:
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = ParameterServer()
+    return _DEFAULT
