@@ -1,0 +1,2 @@
+from .tum import TumDataset, associate, read_trajectory_file, write_trajectory  # noqa: F401
+from .synthetic import SyntheticWorld, render_sequence  # noqa: F401

@@ -1,0 +1,242 @@
+"""Synthetic RGB-D world: a textured box room rendered analytically in JAX.
+
+No TUM data ships in this environment (zero egress), so end-to-end SLAM
+validation uses this generator: a camera moves inside a box whose six faces
+carry corner-rich procedural textures; RGB and depth render by ray/plane
+intersection with exact ground-truth poses. This reproduces the *evaluation
+capability* of the reference's TUM benchmark harness (reference: test/
+run_tests.sh, rgbd_benchmark/) with a dataset whose ground truth is exact.
+
+Renders run batched + jitted (vmap over poses): the whole pipeline including
+data generation stays on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..core.camera import Intrinsics, TUM_DEFAULT
+
+
+def _make_face_texture(rng: np.random.Generator, size: int = 512) -> np.ndarray:
+    """Corner-rich RGB texture: smooth base + random rectangles + speckle."""
+    # Smooth low-frequency base color field.
+    base = rng.uniform(0.25, 0.75, (8, 8, 3))
+    tex = np.kron(base, np.ones((size // 8, size // 8, 1)))
+    # Blur the base slightly (box blur twice).
+    for _ in range(2):
+        tex = (
+            tex
+            + np.roll(tex, 7, 0)
+            + np.roll(tex, -7, 0)
+            + np.roll(tex, 7, 1)
+            + np.roll(tex, -7, 1)
+        ) / 5.0
+    # Random high-contrast rectangles (Mondrian): strong corners for FAST/ORB.
+    for _ in range(80):
+        w = rng.integers(8, size // 4)
+        h = rng.integers(8, size // 4)
+        x = rng.integers(0, size - w)
+        y = rng.integers(0, size - h)
+        color = rng.uniform(0.0, 1.0, 3)
+        alpha = rng.uniform(0.6, 1.0)
+        tex[y : y + h, x : x + w] = (1 - alpha) * tex[y : y + h, x : x + w] + alpha * color
+    # Fine speckle for descriptor distinctiveness.
+    tex += rng.normal(0, 0.02, tex.shape)
+    return np.clip(tex, 0.0, 1.0).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticWorld:
+    """Box room [0,Lx]x[0,Ly]x[0,Lz] with textured interior faces."""
+
+    extent: Tuple[float, float, float]
+    textures: jnp.ndarray  # (6, S, S, 3) float32 — faces x-,x+,y-,y+,z-,z+
+    cam: Intrinsics
+
+    @classmethod
+    def create(
+        cls,
+        seed: int = 0,
+        extent: Tuple[float, float, float] = (6.0, 5.0, 3.0),
+        texture_size: int = 512,
+        cam: Intrinsics = TUM_DEFAULT,
+    ) -> "SyntheticWorld":
+        rng = np.random.default_rng(seed)
+        tex = np.stack([_make_face_texture(rng, texture_size) for _ in range(6)])
+        return cls(extent=extent, textures=jnp.asarray(tex), cam=cam)
+
+    # ---------------- rendering ----------------
+
+    def render(self, world_T_cam: jnp.ndarray):
+        """Render one frame: pose (4, 4) -> (rgb float32 (H,W,3) in [0,1], depth (H,W))."""
+        return _render(self.textures, jnp.asarray(self.extent), world_T_cam, self.cam)
+
+    def render_batch(self, poses: jnp.ndarray):
+        """poses (B, 4, 4) -> (rgb (B,H,W,3), depth (B,H,W)). jit+vmap."""
+        return jax.jit(jax.vmap(lambda T: _render(self.textures, jnp.asarray(self.extent), T, self.cam)))(poses)
+
+    # ---------------- trajectories ----------------
+
+    def orbit_trajectory(self, n_frames: int, seed: int = 1) -> jnp.ndarray:
+        """Smooth fr1-like trajectory: ellipse orbit + bob + look-at jitter.
+
+        Returns (N, 4, 4) world_T_cam with +z forward (camera convention).
+        """
+        Lx, Ly, Lz = self.extent
+        c = jnp.array([Lx / 2, Ly / 2, Lz / 2])
+        t = jnp.linspace(0.0, 2.0 * jnp.pi, n_frames)
+        rng = np.random.default_rng(seed)
+        ph = float(rng.uniform(0, 2 * np.pi))
+        rx, ry = 0.22 * Lx, 0.22 * Ly
+        pos = jnp.stack(
+            [
+                Lx / 2 + rx * jnp.cos(t + ph),
+                Ly / 2 + ry * jnp.sin(t + ph),
+                Lz / 2 + 0.25 * jnp.sin(2.0 * t + ph),
+            ],
+            axis=-1,
+        )
+        # Look at a point that slowly pans around the walls.
+        look = jnp.stack(
+            [
+                Lx / 2 + 0.48 * Lx * jnp.cos(t + ph + 1.2),
+                Ly / 2 + 0.48 * Ly * jnp.sin(t + ph + 1.2),
+                Lz / 2 + 0.2 * jnp.cos(3.0 * t),
+            ],
+            axis=-1,
+        )
+        fwd = look - pos
+        fwd = fwd / jnp.linalg.norm(fwd, axis=-1, keepdims=True)
+        up = jnp.array([0.0, 0.0, 1.0])
+        right = jnp.cross(fwd, up)
+        right = right / jnp.linalg.norm(right, axis=-1, keepdims=True)
+        down = jnp.cross(fwd, right)  # camera y points down
+        R = jnp.stack([right, down, fwd], axis=-1)  # columns: x=right, y=down, z=fwd
+        return se3.from_rt(R, pos)
+
+
+def _render(textures, extent, world_T_cam, cam: Intrinsics):
+    H, W = cam.height, cam.width
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    dir_cam = jnp.stack(
+        [
+            jnp.broadcast_to((u - cam.cx) / cam.fx, (H, W)),
+            jnp.broadcast_to((v - cam.cy) / cam.fy, (H, W)),
+            jnp.ones((H, W), jnp.float32),
+        ],
+        axis=-1,
+    )  # (H, W, 3), cam z-component 1 => depth = ray parameter t
+    R, o = se3.to_rt(world_T_cam)
+    d = dir_cam @ R.T  # world-frame ray directions
+    S = textures.shape[1]
+
+    # Six axis-aligned planes: axis a, bound b (0 or L_a).
+    t_best = jnp.full((H, W), jnp.inf)
+    rgb = jnp.zeros((H, W, 3), jnp.float32)
+    for face in range(6):
+        axis = face // 2
+        hi = face % 2  # 0 -> plane at 0, 1 -> plane at extent[axis]
+        bound = extent[axis] * hi
+        da = d[..., axis]
+        safe_da = jnp.where(jnp.abs(da) < 1e-9, 1e-9, da)
+        t = (bound - o[axis]) / safe_da
+        p = o + t[..., None] * d
+        a1, a2 = [x for x in (0, 1, 2) if x != axis]
+        inb = (
+            (t > 1e-4)
+            & (jnp.abs(da) > 1e-9)
+            & (p[..., a1] >= 0)
+            & (p[..., a1] <= extent[a1])
+            & (p[..., a2] >= 0)
+            & (p[..., a2] <= extent[a2])
+        )
+        # Texture coords on this face.
+        tu = jnp.clip(p[..., a1] / extent[a1], 0.0, 1.0) * (S - 1)
+        tv = jnp.clip(p[..., a2] / extent[a2], 0.0, 1.0) * (S - 1)
+        # Bilinear sample.
+        x0 = jnp.floor(tu).astype(jnp.int32)
+        y0 = jnp.floor(tv).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, S - 1)
+        y1 = jnp.minimum(y0 + 1, S - 1)
+        fx = (tu - x0)[..., None]
+        fy = (tv - y0)[..., None]
+        tex = textures[face]
+        c00 = tex[y0, x0]
+        c01 = tex[y0, x1]
+        c10 = tex[y1, x0]
+        c11 = tex[y1, x1]
+        color = (1 - fy) * ((1 - fx) * c00 + fx * c01) + fy * ((1 - fx) * c10 + fx * c11)
+        closer = inb & (t < t_best)
+        t_best = jnp.where(closer, t, t_best)
+        rgb = jnp.where(closer[..., None], color, rgb)
+
+    depth = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
+    return rgb, depth
+
+
+def render_sequence(
+    world: SyntheticWorld,
+    n_frames: int,
+    seed: int = 1,
+    depth_noise_sigma: float = 0.0,
+    batch: int = 16,
+):
+    """Render a full trajectory -> (poses (N,4,4), rgb uint8 (N,H,W,3), depth (N,H,W)).
+
+    depth_noise_sigma > 0 adds Kinect-style quadratic depth noise and 1/5000
+    quantization (the TUM recording format).
+    """
+    poses = world.orbit_trajectory(n_frames, seed=seed)
+    rgbs, depths = [], []
+    key = jax.random.PRNGKey(seed)
+    for s in range(0, n_frames, batch):
+        chunk = poses[s : s + batch]
+        pad = batch - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate([chunk, jnp.repeat(chunk[-1:], pad, 0)], 0)
+        rgb, depth = world.render_batch(chunk)
+        if depth_noise_sigma > 0:
+            key, k1 = jax.random.split(key)
+            noise = jax.random.normal(k1, depth.shape) * depth_noise_sigma * depth * depth
+            depth = jnp.where(depth > 0, depth + noise, 0.0)
+            depth = jnp.round(depth * 5000.0) / 5000.0
+        n = batch - pad
+        rgbs.append(np.asarray((rgb[:n] * 255).astype(jnp.uint8)))
+        depths.append(np.asarray(depth[:n]))
+    return (
+        np.asarray(poses),
+        np.concatenate(rgbs, 0),
+        np.concatenate(depths, 0),
+    )
+
+
+def save_as_tum_dataset(out_dir, poses, rgbs, depths, fps: float = 30.0):
+    """Write a synthetic sequence as a TUM dataset directory (png + index files)."""
+    import cv2
+    from pathlib import Path
+
+    out = Path(out_dir)
+    (out / "rgb").mkdir(parents=True, exist_ok=True)
+    (out / "depth").mkdir(parents=True, exist_ok=True)
+    stamps = [1.0e9 + i / fps for i in range(len(rgbs))]
+    rgb_lines, d_lines = ["# synthetic"], ["# synthetic"]
+    for i, ts in enumerate(stamps):
+        rn = f"rgb/{ts:.6f}.png"
+        dn = f"depth/{ts:.6f}.png"
+        cv2.imwrite(str(out / rn), rgbs[i][..., ::-1])
+        cv2.imwrite(str(out / dn), (depths[i] * 5000.0).astype(np.uint16))
+        rgb_lines.append(f"{ts:.6f} {rn}")
+        d_lines.append(f"{ts:.6f} {dn}")
+    (out / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (out / "depth.txt").write_text("\n".join(d_lines) + "\n")
+    from .tum import write_trajectory
+
+    write_trajectory(out / "groundtruth.txt", stamps, poses, comment="synthetic gt")
+    return stamps
