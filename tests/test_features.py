@@ -1,0 +1,131 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_v2_tpu.core.camera import Intrinsics
+from rgbdslam_v2_tpu.models.orb import OrbExtractor, min_depth_map
+from rgbdslam_v2_tpu.ops import fast as fast_ops
+from rgbdslam_v2_tpu.ops import matching
+from rgbdslam_v2_tpu.ops import orb as orb_ops
+
+CAM = Intrinsics(fx=260.0, fy=260.0, cx=160.0, cy=120.0, width=320, height=240)
+
+
+def _block_texture(seed=0, h=240, w=320, cell=16):
+    rng = np.random.default_rng(seed)
+    t = np.kron(
+        rng.uniform(0, 1, (h // cell, w // cell)), np.ones((cell, cell))
+    ).astype(np.float32)
+    return jnp.asarray(t)
+
+
+def test_fast_finds_rectangle_corners():
+    img = np.zeros((64, 64), np.float32)
+    img[20:40, 20:44] = 1.0
+    corner, _ = fast_ops.fast_score(jnp.asarray(img), threshold=0.08)
+    c = np.asarray(corner)
+    # corners present near the 4 rectangle corners, not along flat edges/center
+    def any_near(y, x, r=3):
+        return c[y - r : y + r + 1, x - r : x + r + 1].any()
+
+    assert any_near(20, 20) and any_near(20, 43) and any_near(39, 20) and any_near(39, 43)
+    assert not c[28:32, 28:36].any()  # interior is flat
+    assert not c[:10].any()  # background flat
+
+
+def test_detect_corners_nms_and_border():
+    img = _block_texture()
+    score = fast_ops.detect_corners(img, threshold=0.05, border=16)
+    s = np.asarray(score)
+    finite = np.isfinite(s)
+    assert finite.sum() > 50
+    # border exclusion
+    assert not finite[:16].any() and not finite[:, :16].any()
+    # NMS: no two adjacent maxima
+    ys, xs = np.where(finite)
+    coords = set(zip(ys.tolist(), xs.tolist()))
+    for y, x in list(coords)[:200]:
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy or dx) and (y + dy, x + dx) in coords:
+                    raise AssertionError("adjacent NMS survivors")
+
+
+def test_select_keypoints_grid_spreads():
+    img = _block_texture(seed=3)
+    score = fast_ops.detect_corners(img, threshold=0.05)
+    uv, val, valid = fast_ops.select_keypoints_grid(score, 128, grid=4)
+    assert uv.shape == (128, 2)
+    u = np.asarray(uv)[np.asarray(valid)]
+    # keypoints spread over at least 3 of 4 horizontal quarters
+    quarters = set((u[:, 0] // 80).astype(int).tolist())
+    assert len(quarters) >= 3
+
+
+def test_orb_descriptor_shift_invariance():
+    """Descriptors at shifted locations of a shifted image should match."""
+    img = _block_texture(seed=4)
+    sm_uv = jnp.asarray([[100.0, 100.0], [150.0, 80.0], [200.0, 160.0], [60.0, 60.0]])
+    theta1, d1 = orb_ops.describe(img, sm_uv)
+    shifted = jnp.roll(img, (5, 9), axis=(0, 1))
+    theta2, d2 = orb_ops.describe(shifted, sm_uv + jnp.asarray([[9.0, 5.0]]))
+    ham = np.asarray(matching.descriptor_distances(d1, d2))
+    diag = np.diag(ham)
+    off = ham + np.eye(4) * 1e9
+    assert (diag < 25).all()  # same point: low Hamming
+    assert (off.min(1) > diag + 10).all()  # distinct points: far
+
+
+def test_match_descriptors_ratio_and_dedup():
+    rng = np.random.default_rng(0)
+    base = np.where(rng.uniform(size=(20, 256)) > 0.5, 1, -1).astype(np.int8)
+    # B = permuted A with small noise; plus one ambiguous pair
+    perm = rng.permutation(20)
+    noise_mask = rng.uniform(size=(20, 256)) < 0.02
+    b = base[perm] * np.where(noise_mask, -1, 1).astype(np.int8)
+    m = matching.match_descriptors(
+        jnp.asarray(base),
+        jnp.ones(20, bool),
+        jnp.asarray(b),
+        jnp.ones(20, bool),
+        max_matches=20,
+        ratio=0.8,
+    )
+    valid = np.asarray(m.valid)
+    si = np.asarray(m.src_idx)[valid]
+    di = np.asarray(m.dst_idx)[valid]
+    assert valid.sum() >= 18
+    # all matches correct under the permutation
+    assert (perm[di] == si).all()
+    # one-to-one
+    assert len(set(di.tolist())) == len(di)
+
+
+def test_match_respects_validity():
+    a = jnp.asarray(np.where(np.random.default_rng(1).uniform(size=(8, 256)) > 0.5, 1, -1).astype(np.int8))
+    valid_a = jnp.asarray([True] * 4 + [False] * 4)
+    m = matching.match_descriptors(a, valid_a, a, jnp.ones(8, bool), 8, ratio=1.01)
+    si = np.asarray(m.src_idx)[np.asarray(m.valid)]
+    assert (si < 4).all()
+
+
+def test_orb_extractor_end_to_end_synthetic():
+    from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
+    from rgbdslam_v2_tpu.core.frames import make_frame
+
+    world = SyntheticWorld.create(seed=0, texture_size=256, cam=CAM)
+    poses, rgbs, depths = render_sequence(world, 1, seed=2)
+    f = make_frame(jnp.asarray(rgbs[0]), jnp.asarray(depths[0]), CAM)
+    ext = OrbExtractor(max_keypoints=256, n_levels=3)
+    kp = jax.jit(lambda g, d: ext(g, d, CAM))(f.gray, min_depth_map(f.depth, f.valid))
+    n = int(kp.count())
+    assert n > 150
+    u = np.asarray(kp.uv)[np.asarray(kp.valid)]
+    assert (u[:, 0] >= 0).all() and (u[:, 0] < 320).all()
+    # xyz consistent with uv/backprojection
+    k = np.asarray(kp.valid)
+    z = np.asarray(kp.xyz)[k, 2]
+    assert (z > 0.05).all() and (z < 10).all()
+    # descriptors mostly unique
+    d = np.asarray(kp.desc)[k]
+    assert len(np.unique(d, axis=0)) > 0.9 * n
