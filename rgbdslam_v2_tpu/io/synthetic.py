@@ -53,10 +53,13 @@ def _make_face_texture(rng: np.random.Generator, size: int = 512) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class SyntheticWorld:
-    """Box room [0,Lx]x[0,Ly]x[0,Lz] with textured interior faces."""
+    """Box room [0,Lx]x[0,Ly]x[0,Lz] with textured interior faces and a set
+    of textured boxes inside (furniture): depth discontinuities + occlusions
+    make EMM validation and parallax meaningful."""
 
     extent: Tuple[float, float, float]
     textures: jnp.ndarray  # (6, S, S, 3) float32 — faces x-,x+,y-,y+,z-,z+
+    boxes: Tuple[Tuple[Tuple[float, float, float], Tuple[float, float, float]], ...]
     cam: Intrinsics
 
     @classmethod
@@ -66,20 +69,53 @@ class SyntheticWorld:
         extent: Tuple[float, float, float] = (6.0, 5.0, 3.0),
         texture_size: int = 512,
         cam: Intrinsics = TUM_DEFAULT,
+        n_boxes: int = 5,
     ) -> "SyntheticWorld":
         rng = np.random.default_rng(seed)
         tex = np.stack([_make_face_texture(rng, texture_size) for _ in range(6)])
-        return cls(extent=extent, textures=jnp.asarray(tex), cam=cam)
+        Lx, Ly, Lz = extent
+        boxes = []
+        # Furniture along the walls / floor, outside the camera orbit region
+        # (the orbit stays within ~0.25 * extent of the center).
+        for k in range(n_boxes):
+            sx, sy = rng.uniform(0.5, 1.4, 2)
+            sz = rng.uniform(1.0, 0.75 * Lz)
+            # place against a wall (outside the camera orbit region), tall
+            # enough to occlude wall texture at eye height
+            side = k % 4
+            if side == 0:
+                ax, ay = 0.05 * Lx, rng.uniform(0.05 * Ly, 0.9 * Ly - sy)
+            elif side == 1:
+                ax, ay = 0.95 * Lx - sx, rng.uniform(0.05 * Ly, 0.9 * Ly - sy)
+            elif side == 2:
+                ax, ay = rng.uniform(0.05 * Lx, 0.9 * Lx - sx), 0.05 * Ly
+            else:
+                ax, ay = rng.uniform(0.05 * Lx, 0.9 * Lx - sx), 0.95 * Ly - sy
+            az = 0.0  # on the floor
+            boxes.append(((float(ax), float(ay), float(az)),
+                          (float(ax + sx), float(ay + sy), float(az + sz))))
+        return cls(
+            extent=extent,
+            textures=jnp.asarray(tex),
+            boxes=tuple(boxes),
+            cam=cam,
+        )
 
     # ---------------- rendering ----------------
 
     def render(self, world_T_cam: jnp.ndarray):
         """Render one frame: pose (4, 4) -> (rgb float32 (H,W,3) in [0,1], depth (H,W))."""
-        return _render(self.textures, jnp.asarray(self.extent), world_T_cam, self.cam)
+        return _render_jit(self.textures, jnp.asarray(self.extent), self.boxes, world_T_cam, self.cam)
 
     def render_batch(self, poses: jnp.ndarray):
         """poses (B, 4, 4) -> (rgb (B,H,W,3), depth (B,H,W)). jit+vmap."""
-        return jax.jit(jax.vmap(lambda T: _render(self.textures, jnp.asarray(self.extent), T, self.cam)))(poses)
+        return jax.jit(
+            jax.vmap(
+                lambda T: _render(
+                    self.textures, jnp.asarray(self.extent), self.boxes, T, self.cam
+                )
+            )
+        )(poses)
 
     # ---------------- trajectories ----------------
 
@@ -107,7 +143,7 @@ class SyntheticWorld:
             [
                 Lx / 2 + 0.48 * Lx * jnp.cos(t + ph + 1.2),
                 Ly / 2 + 0.48 * Ly * jnp.sin(t + ph + 1.2),
-                Lz / 2 + 0.2 * jnp.cos(3.0 * t),
+                0.35 * Lz + 0.15 * Lz * jnp.cos(3.0 * t),
             ],
             axis=-1,
         )
@@ -121,7 +157,34 @@ class SyntheticWorld:
         return se3.from_rt(R, pos)
 
 
-def _render(textures, extent, world_T_cam, cam: Intrinsics):
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("boxes", "cam"))
+def _render_jit(textures, extent, boxes, world_T_cam, cam):
+    return _render(textures, extent, boxes, world_T_cam, cam)
+
+
+def _sample_tex(textures, face, tu01, tv01):
+    """Bilinear sample face texture at normalized coords (broadcasting)."""
+    S = textures.shape[1]
+    tu = jnp.clip(tu01, 0.0, 1.0) * (S - 1)
+    tv = jnp.clip(tv01, 0.0, 1.0) * (S - 1)
+    x0 = jnp.floor(tu).astype(jnp.int32)
+    y0 = jnp.floor(tv).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, S - 1)
+    y1 = jnp.minimum(y0 + 1, S - 1)
+    fx = (tu - x0)[..., None]
+    fy = (tv - y0)[..., None]
+    tex = textures[face]
+    c00 = tex[y0, x0]
+    c01 = tex[y0, x1]
+    c10 = tex[y1, x0]
+    c11 = tex[y1, x1]
+    return (1 - fy) * ((1 - fx) * c00 + fx * c01) + fy * ((1 - fx) * c10 + fx * c11)
+
+
+def _render(textures, extent, boxes, world_T_cam, cam: Intrinsics):
     H, W = cam.height, cam.width
     v = jnp.arange(H, dtype=jnp.float32)[:, None]
     u = jnp.arange(W, dtype=jnp.float32)[None, :]
@@ -135,14 +198,13 @@ def _render(textures, extent, world_T_cam, cam: Intrinsics):
     )  # (H, W, 3), cam z-component 1 => depth = ray parameter t
     R, o = se3.to_rt(world_T_cam)
     d = dir_cam @ R.T  # world-frame ray directions
-    S = textures.shape[1]
 
-    # Six axis-aligned planes: axis a, bound b (0 or L_a).
+    # Six axis-aligned wall planes: axis a, bound 0 or L_a.
     t_best = jnp.full((H, W), jnp.inf)
     rgb = jnp.zeros((H, W, 3), jnp.float32)
     for face in range(6):
         axis = face // 2
-        hi = face % 2  # 0 -> plane at 0, 1 -> plane at extent[axis]
+        hi = face % 2
         bound = extent[axis] * hi
         da = d[..., axis]
         safe_da = jnp.where(jnp.abs(da) < 1e-9, 1e-9, da)
@@ -157,24 +219,36 @@ def _render(textures, extent, world_T_cam, cam: Intrinsics):
             & (p[..., a2] >= 0)
             & (p[..., a2] <= extent[a2])
         )
-        # Texture coords on this face.
-        tu = jnp.clip(p[..., a1] / extent[a1], 0.0, 1.0) * (S - 1)
-        tv = jnp.clip(p[..., a2] / extent[a2], 0.0, 1.0) * (S - 1)
-        # Bilinear sample.
-        x0 = jnp.floor(tu).astype(jnp.int32)
-        y0 = jnp.floor(tv).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, S - 1)
-        y1 = jnp.minimum(y0 + 1, S - 1)
-        fx = (tu - x0)[..., None]
-        fy = (tv - y0)[..., None]
-        tex = textures[face]
-        c00 = tex[y0, x0]
-        c01 = tex[y0, x1]
-        c10 = tex[y1, x0]
-        c11 = tex[y1, x1]
-        color = (1 - fy) * ((1 - fx) * c00 + fx * c01) + fy * ((1 - fx) * c10 + fx * c11)
+        color = _sample_tex(textures, face, p[..., a1] / extent[a1], p[..., a2] / extent[a2])
         closer = inb & (t < t_best)
         t_best = jnp.where(closer, t, t_best)
+        rgb = jnp.where(closer[..., None], color, rgb)
+
+    # Interior boxes (furniture): slab intersection; entry face picks texture.
+    for bmin, bmax in boxes:
+        bmin = jnp.asarray(bmin)
+        bmax = jnp.asarray(bmax)
+        safe_d = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+        t1 = (bmin - o) / safe_d  # (H, W, 3)
+        t2 = (bmax - o) / safe_d
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        t_near = jnp.max(tmin, axis=-1)
+        t_far = jnp.min(tmax, axis=-1)
+        hit = (t_near > 1e-4) & (t_near < t_far)
+        entry_axis = jnp.argmax(tmin, axis=-1)  # (H, W)
+        p = o + t_near[..., None] * d
+        size = bmax - bmin
+        rel = (p - bmin) / size
+        # texture coords = the two non-entry axes
+        tu = jnp.take_along_axis(rel, ((entry_axis + 1) % 3)[..., None], -1)[..., 0]
+        tv = jnp.take_along_axis(rel, ((entry_axis + 2) % 3)[..., None], -1)[..., 0]
+        color = _sample_tex(textures, 0, tu, tv)  # distinct look via shading below
+        # darken by entry axis so box faces are visually distinct
+        shade = 0.55 + 0.15 * entry_axis.astype(jnp.float32)
+        color = color * shade[..., None]
+        closer = hit & (t_near < t_best)
+        t_best = jnp.where(closer, t_near, t_best)
         rgb = jnp.where(closer[..., None], color, rgb)
 
     depth = jnp.where(jnp.isfinite(t_best), t_best, 0.0)

@@ -77,6 +77,7 @@ def match_descriptors(
     ratio: float = 0.95,
 ) -> Matches:
     """knn=2 ratio-test matching with best-per-train dedup, strongest-M kept."""
+    max_matches = min(max_matches, desc_a.shape[0])
     dist = descriptor_distances(desc_a, desc_b)  # (Ka, Kb)
     dist = jnp.where(valid_a[:, None] & valid_b[None, :], dist, _BIG)
     # top-2 nearest train for each query (negate for top_k max semantics)

@@ -142,3 +142,108 @@ class SlamPipeline:
             json.dumps(report.as_dict(), indent=2)
         )
         return report
+
+    # ------------------------------------------------------------------
+    # Output capabilities (graph_mgr_io.cpp parity)
+    # ------------------------------------------------------------------
+    def _node_world_cloud(self, node_id: int):
+        """Rebuild node cloud from stored stride-s depth/color + current pose
+        (the reference's updateCloudOrigin + transform, graph_mgr_io.cpp:216)."""
+        from ..core.camera import backproject_grid
+        from ..core import se3 as _se3
+
+        mgr = self.manager
+        depth = mgr.store.depth[node_id]
+        color = mgr.store.color[node_id]
+        pts_cam = backproject_grid(depth, mgr.cam_small)
+        pose = mgr.graph.poses[node_id]
+        pts_w = _se3.apply(pose, pts_cam.reshape(-1, 3))
+        valid = (depth > 0).reshape(-1)
+        return (
+            np.asarray(pts_w),
+            np.asarray(color).reshape(-1, 3),
+            np.asarray(valid),
+            np.asarray(pose[:3, 3]),
+        )
+
+    def save_octomap(self, path, map_config=None, node_stride: int = 1):
+        """Raycast all node clouds into a color voxel map, save as .ot
+        (saveOctomapImpl capability, graph_mgr_io.cpp:253-310)."""
+        from ..mapping import VoxelMap, VoxelMapConfig
+
+        cfg = map_config or VoxelMapConfig(
+            resolution=self.params["octomap_resolution"],
+            prob_hit=self.params["octomap_prob_hit"],
+            prob_miss=self.params["octomap_prob_miss"],
+            clamp_min=self.params["octomap_clamping_min"],
+            clamp_max=self.params["octomap_clamping_max"],
+            occupancy_threshold=self.params["octomap_occupancy_threshold"],
+        )
+        vmap_ = VoxelMap(cfg)
+        for nid in range(0, self.manager.n_nodes, node_stride):
+            pts, cols, valid, origin = self._node_world_cloud(nid)
+            vmap_.insert_cloud(pts, cols, valid, origin)
+        vmap_.save(path)
+        return vmap_
+
+    def save_clouds(self, path, voxel: Optional[float] = None, fmt: str = "pcd"):
+        """Aggregate world cloud -> PCD/PLY (saveAllCloudsToFile capability)."""
+        from ..io.pointcloud import voxel_downsample, write_pcd, write_ply
+
+        all_p, all_c = [], []
+        for nid in range(self.manager.n_nodes):
+            pts, cols, valid, _ = self._node_world_cloud(nid)
+            all_p.append(pts[valid])
+            all_c.append(cols[valid])
+        pts = np.concatenate(all_p, 0) if all_p else np.zeros((0, 3))
+        cols = np.concatenate(all_c, 0) if all_c else np.zeros((0, 3), np.uint8)
+        v = self.params["voxelfilter_size"] if voxel is None else voxel
+        if v and v > 0:
+            pts, cols = voxel_downsample(pts, cols, v)
+        if fmt == "ply":
+            write_ply(path, pts, cols)
+        else:
+            write_pcd(path, pts, cols)
+        return len(pts)
+
+    def save_g2o(self, path):
+        """Export the pose graph in g2o text format (saveG2OGraph capability)."""
+        from ..graph.g2o_io import write_g2o
+
+        mgr = self.manager
+        poses = mgr.poses()
+        fixed = [i for i in range(mgr.n_nodes) if bool(mgr.graph.node_fixed[i])]
+        active = np.asarray(mgr.graph.edge_active)
+        meas = np.asarray(mgr.graph.edge_meas)
+        info = np.asarray(mgr.graph.edge_info)
+        ei = np.asarray(mgr.graph.edge_i)
+        ej = np.asarray(mgr.graph.edge_j)
+        edges = [
+            (int(ei[e]), int(ej[e]), meas[e], info[e])
+            for e in range(mgr.n_edges)
+            if active[e]
+        ]
+        write_g2o(path, poses, fixed, edges)
+
+    def save_features(self, path):
+        """World-frame feature positions + descriptors (.npz;
+        saveAllFeaturesToFile capability, graph_mgr_io.cpp:445-497)."""
+        from ..core import se3 as _se3
+        import jax.numpy as _jnp
+
+        mgr = self.manager
+        pos, desc, node_ids = [], [], []
+        for nid in range(mgr.n_nodes):
+            valid = np.asarray(mgr.store.kp_valid[nid])
+            xyz = np.asarray(
+                _se3.apply(mgr.graph.poses[nid], mgr.store.xyz[nid])
+            )[valid]
+            pos.append(xyz)
+            desc.append(np.asarray(mgr.store.desc[nid])[valid])
+            node_ids.append(np.full(valid.sum(), nid, np.int32))
+        np.savez_compressed(
+            path,
+            positions=np.concatenate(pos, 0) if pos else np.zeros((0, 3)),
+            descriptors=np.concatenate(desc, 0) if desc else np.zeros((0, 256)),
+            node_ids=np.concatenate(node_ids, 0) if node_ids else np.zeros(0, np.int32),
+        )

@@ -45,11 +45,13 @@ def test_emm_rejects_wrong_transform():
     )
     res_good = observation_likelihood(a_T_b, fb.points, fb.valid, fa.depth, CAM)
     res_bad = observation_likelihood(jnp.asarray(bad), fb.points, fb.valid, fa.depth, CAM)
-    assert bool(observation_criterion_met(res_good, 0.6))
-    assert not bool(observation_criterion_met(res_bad, 0.6))
+    assert float(res_bad.quality) < float(res_good.quality) - 0.1
     frac_good = int(res_good.inliers) / max(int(res_good.all_projected), 1)
     frac_bad = int(res_bad.inliers) / max(int(res_bad.all_projected), 1)
     assert frac_bad < frac_good - 0.2
+    # a strict threshold separates them through the criterion
+    assert bool(observation_criterion_met(res_good, 0.9))
+    assert not bool(observation_criterion_met(res_bad, 0.9))
 
 
 def test_emm_identity_on_same_frame_perfect():

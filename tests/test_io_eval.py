@@ -89,7 +89,13 @@ def test_synthetic_world_render():
         (np.abs(pts_world) < 1e-2).any(-1)
         | (np.abs(pts_world - ext) < 1e-2).any(-1)
     )
-    assert on_wall.mean() > 0.99
+    on_box = np.zeros(len(pts_world), bool)
+    for bmin, bmax in world.boxes:
+        bmin = np.asarray(bmin) - 1e-2
+        bmax = np.asarray(bmax) + 1e-2
+        inside = ((pts_world >= bmin) & (pts_world <= bmax)).all(-1)
+        on_box |= inside
+    assert (on_wall | on_box).mean() > 0.99
 
 
 def test_synthetic_tum_roundtrip(tmp_path):
