@@ -1,0 +1,2 @@
+from .mesh import candidate_mesh  # noqa: F401
+from .sharded import sharded_compare, sharded_lm_iteration  # noqa: F401
