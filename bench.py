@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end RGB-D SLAM throughput on one TPU chip.
+
+Measures steady-state frames/sec of the full per-frame path — ORB
+extraction (600 keypoints, 640x480), 8-candidate descriptor matching,
+batched RANSAC with Mahalanobis inliers, bidirectional EMM validation,
+graph insertion and amortized pose-graph optimization — on a synthetic
+sequence with exact ground truth (no TUM data ships in this environment;
+the synthetic world reproduces the benchmark protocol with exact GT).
+
+Baseline: the reference processes TUM fr1_desk at ~16.6 fps end-to-end
+(550 nodes / 33.2 s, test/README:106, contemporary desktop CPU+GPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+BASELINE_FPS = 16.6  # reference fr1_desk end-to-end (test/README:106)
+
+
+def main():
+    import rgbdslam_v2_tpu
+
+    rgbdslam_v2_tpu.enable_compilation_cache()
+    import jax
+    import numpy as np
+
+    from rgbdslam_v2_tpu.config import ParameterServer
+    from rgbdslam_v2_tpu.core.camera import TUM_DEFAULT
+    from rgbdslam_v2_tpu.eval import evaluate_ate
+    from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
+    from rgbdslam_v2_tpu.pipeline import SlamPipeline
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    warmup = 6
+
+    world = SyntheticWorld.create(seed=0, cam=TUM_DEFAULT)
+    poses, rgbs, depths = render_sequence(world, n_frames, seed=2)
+    stamps = np.arange(n_frames) / 30.0
+
+    params = ParameterServer(
+        dict(
+            max_keypoints=600,
+            tpu_max_nodes=256,
+            tpu_max_edges=4096,
+            tpu_candidate_batch=8,
+            ransac_iterations=200,
+            optimizer_skip_step=10,
+            keep_all_nodes=True,
+            observability_threshold=0.5,
+        )
+    )
+    pipe = SlamPipeline(TUM_DEFAULT, params)
+
+    # Warm-up (compiles); then measure steady state.
+    for i in range(warmup):
+        pipe.process_frame(rgbs[i], depths[i], float(stamps[i]),
+                           gt_pose=poses[0] if i == 0 else None)
+    jax.block_until_ready(pipe.manager.graph.poses)
+    t0 = time.perf_counter()
+    for i in range(warmup, n_frames):
+        pipe.process_frame(rgbs[i], depths[i], float(stamps[i]))
+    jax.block_until_ready(pipe.manager.graph.poses)
+    dt = time.perf_counter() - t0
+    fps = (n_frames - warmup) / dt
+
+    pipe.manager.optimize()
+    est_stamps, est_poses = pipe.manager.trajectory()
+    try:
+        ate = evaluate_ate(
+            est_stamps, est_poses[:, :3, 3], list(stamps), poses[:, :3, 3]
+        ).rmse
+    except Exception:
+        ate = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "end-to-end SLAM throughput, 640x480 RGB-D, ORB-600, "
+                    "8 candidates, RANSAC-200, EMM on, synthetic room "
+                    f"(ATE RMSE {ate:.4f} m vs exact GT; ref fr1_desk={BASELINE_FPS} fps)"
+                ),
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,16 @@ def candidate_mesh(n_devices: int | None = None, platform: str | None = None) ->
     e.g. 'cpu' for the virtual 8-device test mesh)."""
     devs = jax.devices(platform) if platform else jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs) and platform is None:
+        # This environment's TPU plugin stays default even under
+        # JAX_PLATFORMS=cpu; fall back to the virtual host devices
+        # (xla_force_host_platform_device_count) for multi-device runs.
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n:
+                devs = cpu
+        except RuntimeError:
+            pass
     if n > len(devs):
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     return Mesh(np.asarray(devs[:n]), axis_names=("c",))

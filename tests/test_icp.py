@@ -1,0 +1,94 @@
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_v2_tpu.core import se3
+from rgbdslam_v2_tpu.core.camera import Intrinsics
+from rgbdslam_v2_tpu.core.frames import make_frame
+from rgbdslam_v2_tpu.io import SyntheticWorld
+from rgbdslam_v2_tpu.ops.icp import grid_normals, icp_point_to_plane
+
+CAM = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0, width=160, height=120)
+
+
+def _corner_pose(world, jitter=(0.0, 0.0, 0.0)):
+    """Pose looking into a room corner: all 3 translation axes observable."""
+    Lx, Ly, Lz = world.extent
+    pos = jnp.asarray([Lx * 0.55 + jitter[0], Ly * 0.55 + jitter[1], Lz * 0.5 + jitter[2]])
+    corner = jnp.asarray([0.0, 0.0, 0.0])
+    fwd = corner - pos
+    fwd = fwd / jnp.linalg.norm(fwd)
+    up = jnp.asarray([0.0, 0.0, 1.0])
+    right = jnp.cross(fwd, up)
+    right = right / jnp.linalg.norm(right)
+    down = jnp.cross(fwd, right)
+    R = jnp.stack([right, down, fwd], axis=-1)
+    return se3.from_rt(R, pos)
+
+
+def _two_frames(di=1, corner=False):
+    world = SyntheticWorld.create(seed=0, texture_size=128, cam=CAM)
+    if corner:
+        Ta = _corner_pose(world)
+        Tb = _corner_pose(world, jitter=(0.04, -0.03, 0.02))
+    else:
+        poses = world.orbit_trajectory(60, seed=2)
+        Ta, Tb = poses[0], poses[di]
+    fa = make_frame((world.render(Ta)[0] * 255).astype(jnp.uint8), world.render(Ta)[1], CAM)
+    fb = make_frame((world.render(Tb)[0] * 255).astype(jnp.uint8), world.render(Tb)[1], CAM)
+    return fa, fb, se3.relative(Ta, Tb)
+
+
+def test_grid_normals_point_at_camera():
+    fa, _, _ = _two_frames()
+    n = np.asarray(grid_normals(fa.points, fa.valid))
+    norms = np.linalg.norm(n, axis=-1)
+    # normals are either masked (zero: discontinuities/borders) or unit
+    assert (np.minimum(np.abs(norms - 1.0), norms) < 1e-3).all()
+    assert (norms > 0.5).mean() > 0.5  # most of the frame has valid planes
+    # oriented toward the camera where defined: n . p < 0
+    defined = norms > 0.5
+    dots = (n * np.asarray(fa.points)).sum(-1)[defined]
+    assert (dots <= 1e-6).mean() > 0.99
+
+
+def test_icp_refines_perturbed_transform():
+    """Corner view: all translation axes geometrically observable, so ICP
+    must recover the full perturbation (on single-plane views point-to-plane
+    ICP legitimately cannot observe in-plane sliding)."""
+    fa, fb, a_T_b = _two_frames(corner=True)
+    # perturb the true transform by ~3 cm / 2 deg
+    pert = se3.exp_se3(jnp.asarray([0.02, -0.015, 0.02, 0.015, -0.02, 0.01], jnp.float32))
+    T0 = jnp.asarray(a_T_b) @ pert
+    res = icp_point_to_plane(
+        T0, fb.points, fb.valid, fa.points, fa.valid, iterations=15
+    )
+    assert bool(res.converged)
+    err0 = float(se3.translation_norm(se3.relative(jnp.asarray(a_T_b), T0)))
+    err1 = float(se3.translation_norm(se3.relative(jnp.asarray(a_T_b), res.transform)))
+    assert err1 < err0 * 0.5
+    assert err1 < 0.012
+    rot_err = float(se3.rotation_angle(se3.relative(jnp.asarray(a_T_b), res.transform)))
+    assert rot_err < 0.01
+
+
+def test_icp_stays_put_at_truth():
+    fa, fb, a_T_b = _two_frames()
+    res = icp_point_to_plane(
+        jnp.asarray(a_T_b), fb.points, fb.valid, fa.points, fa.valid, iterations=5
+    )
+    err = float(se3.translation_norm(se3.relative(jnp.asarray(a_T_b), res.transform)))
+    assert err < 5e-3
+    assert float(res.rmse) < 0.01
+
+
+def test_timing_utils():
+    from rgbdslam_v2_tpu.utils import ScopedTimer, reset_timing_stats, timing_stats
+
+    reset_timing_stats()
+    with ScopedTimer("unit_test_scope", min_time_reported=10.0):
+        pass
+    with ScopedTimer("unit_test_scope", min_time_reported=10.0):
+        pass
+    st = timing_stats()
+    assert st["unit_test_scope"]["count"] == 2
+    assert st["unit_test_scope"]["total_s"] >= 0
