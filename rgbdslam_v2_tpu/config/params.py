@@ -79,6 +79,8 @@ PARAM_DEFS = [
     _p("huber_delta", 1.0, "robust kernel width for graph edges"),
     _p("odometry_information_factor", 1e6, "weight of odometry edges"),
     _p("use_robot_odom", False, "add odometry edges between consecutive nodes"),
+    _p("use_robot_odom_only", False, "skip visual registration; odometry edges only"),
+    _p("global_loop_candidates", 0, "appearance-based global retrieval count (0=off)"),
     _p("constant_position_information", 1e-3, "info scale of fallback edges"),
     # ---- mapping / output ----
     _p("octomap_resolution", 0.05, "voxel edge length (m)"),

@@ -106,9 +106,15 @@ class GraphManager:
         self.last_decisions: List[MatchDecision] = []
         self.nodes_since_optimize = 0
         self.mapping_enabled = True  # toggleMapping capability (localization-only)
+        self.odometry = None  # OdometryProvider (use_robot_odom)
         self._jit_extract = jax.jit(
             lambda g, d: self.extractor(g, d, self.cam)
         )
+
+    # ------------------------------------------------------------------
+    def set_odometry_provider(self, provider):
+        """Attach an OdometryProvider (graph_mgr_odom capability)."""
+        self.odometry = provider
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -119,8 +125,10 @@ class GraphManager:
         return self._jit_extract(frame.gray, min_depth_map(frame.depth, frame.valid))
 
     # ------------------------------------------------------------------
-    def select_candidates(self, new_id: int) -> List[int]:
-        """Sequential predecessors + geodesic BFS neighbors + random keyframes."""
+    def select_candidates(self, new_id: int, kp: Optional[Keypoints] = None) -> List[int]:
+        """Sequential predecessors + geodesic BFS neighbors + random keyframes
+        (+ optional appearance-based global retrieval, loop_closing.cpp
+        capability, when global_loop_candidates > 0)."""
         p = self.params
         B = self.cand_batch
         preds = list(range(new_id - 1, max(-1, new_id - 1 - p["predecessor_candidates"]), -1))
@@ -149,6 +157,20 @@ class GraphManager:
                     sel = self._rng.choice(len(cand), size=n_geo, replace=False, p=w)
                     out.extend(cand[i] for i in sel)
 
+        # appearance-based global retrieval (exact, one MXU matmul)
+        n_global = p["global_loop_candidates"]
+        if n_global > 0 and kp is not None and len(out) < B and new_id > 4:
+            from .loop_closing import retrieve_loop_candidates
+
+            hits = retrieve_loop_candidates(
+                kp,
+                self.store,
+                self.n_nodes,
+                exclude_ids=out + [new_id],
+                top_n=min(n_global, B - len(out)),
+            )
+            out.extend(h for h in hits if h not in out)
+
         # random keyframe sampling (loop-closure discovery)
         kf_pool = [k for k in self.keyframes if k not in out and k != new_id]
         n_rand = min(len(kf_pool), B - len(out), max(p["min_sampled_candidates"], 0))
@@ -176,10 +198,15 @@ class GraphManager:
 
     # ------------------------------------------------------------------
     def _add_edge(self, i: int, j: int, meas: np.ndarray, info_scale: float, etype: int):
+        self._add_edge_full(
+            i, j, meas, np.eye(6, dtype=np.float32) * info_scale, etype
+        )
+
+    def _add_edge_full(self, i: int, j: int, meas: np.ndarray, info: np.ndarray, etype: int):
         e = self.n_edges
         if e >= self.e_cap:
             raise RuntimeError("edge capacity exceeded")
-        info = jnp.eye(6, dtype=jnp.float32) * info_scale
+        info = jnp.asarray(info, jnp.float32)
         self.graph = self.graph._replace(
             edge_i=self.graph.edge_i.at[e].set(i),
             edge_j=self.graph.edge_j.at[e].set(j),
@@ -235,7 +262,28 @@ class GraphManager:
         new_id = self.n_nodes
         if new_id >= self.n_cap:
             raise RuntimeError("node capacity exceeded")
-        cand_ids = self.select_candidates(new_id)
+        pred_id0 = new_id - 1
+        dt0 = max(timestamp - self.timestamps[pred_id0], 1e-3)
+
+        # ---- odometry-only mode (use_robot_odom_only, graph_mgr_odom) -----
+        if p["use_robot_odom_only"]:
+            if self.odometry is None:
+                raise RuntimeError("use_robot_odom_only without an odometry provider")
+            delta = self.odometry.delta(self.timestamps[pred_id0], timestamp)
+            if delta is None:
+                return False
+            prev_pose = self.graph.poses[pred_id0]
+            self.store = self.store.insert(new_id, kp, depth_small, color_small)
+            self._activate_node(new_id, prev_pose @ jnp.asarray(delta))
+            from .odometry import odometry_information
+
+            info = odometry_information(dt0, p["odometry_information_factor"])
+            self._add_edge_full(pred_id0, new_id, delta, info, EDGE_ODOMETRY)
+            self.n_nodes += 1
+            self.timestamps.append(timestamp)
+            return True
+
+        cand_ids = self.select_candidates(new_id, kp)
         B = self.cand_batch
         padded = (cand_ids + [cand_ids[0]] * B)[:B]
         cand_idx = jnp.asarray(padded, jnp.int32)
@@ -341,11 +389,20 @@ class GraphManager:
             self.store = self.store.insert(new_id, kp, depth_small, color_small)
             self._activate_node(new_id, prev_pose)
             info_scale = p["constant_position_information"] / dt_pred
-            self._add_edge(pred_id, new_id, np.eye(4, np.float32), info_scale, EDGE_CONST_POSITION)
+            self._add_edge(pred_id, new_id, np.eye(4, dtype=np.float32), info_scale, EDGE_CONST_POSITION)
             took_node = True
 
         if not took_node:
             return False
+
+        # Robot odometry edge alongside visual edges (graph_mgr_odom.cpp:62).
+        if p["use_robot_odom"] and self.odometry is not None:
+            delta = self.odometry.delta(self.timestamps[pred_id], timestamp)
+            if delta is not None:
+                from .odometry import odometry_information
+
+                info = odometry_information(dt_pred, p["odometry_information_factor"])
+                self._add_edge_full(pred_id, new_id, delta, info, EDGE_ODOMETRY)
 
         self.n_nodes += 1
         self.timestamps.append(timestamp)
@@ -431,7 +488,7 @@ class GraphManager:
                 self._add_edge(
                     min(i, j),
                     max(i, j),
-                    np.eye(4, np.float32),
+                    np.eye(4, dtype=np.float32),
                     self.params["constant_position_information"],
                     EDGE_CONST_POSITION,
                 )
@@ -468,3 +525,117 @@ class GraphManager:
             "sequential_edges": self.n_seq_edges,
             "keyframes": len(self.keyframes),
         }
+
+    # ------------------------------------------------------------------
+    def delete_last_frame(self):
+        """deleteLastFrame capability (graph_manager2.cpp:61): remove the
+        newest node and its edges from the active graph."""
+        if self.n_nodes <= 1:
+            return
+        nid = self.n_nodes - 1
+        active = np.array(self.graph.edge_active)
+        for e, (i, j) in enumerate(self.edge_pairs):
+            if i == nid or j == nid:
+                active[e] = False
+                self.adjacency.get(i, set()).discard(j)
+                self.adjacency.get(j, set()).discard(i)
+        self.graph = self.graph._replace(
+            edge_active=jnp.asarray(active),
+            node_active=self.graph.node_active.at[nid].set(False),
+        )
+        self.store = self.store.clear_features(nid)
+        self.n_nodes -= 1
+        self.timestamps.pop()
+        if self.keyframes and self.keyframes[-1] == nid:
+            self.keyframes.pop()
+
+    def clear_feature_information(self, node_id: int):
+        """clearFeatureInformation capability (node.cpp:1431): free the
+        feature slots of non-keyframes (clear_non_keyframes param)."""
+        self.store = self.store.clear_features(node_id)
+
+    def sanity_check(self) -> List[str]:
+        """sanityCheck capability (graph_manager.cpp:1347)."""
+        problems = []
+        poses = self.poses()
+        if not np.isfinite(poses).all():
+            problems.append("non-finite pose entries")
+        R = poses[:, :3, :3]
+        orth = np.abs(R @ R.transpose(0, 2, 1) - np.eye(3)).max()
+        if orth > 1e-2:
+            problems.append(f"non-orthonormal rotations (max dev {orth:.2e})")
+        active = np.asarray(self.graph.edge_active)
+        for e in range(self.n_edges):
+            if active[e]:
+                i, j = self.edge_pairs[e]
+                if i >= self.n_nodes or j >= self.n_nodes:
+                    problems.append(f"edge {e} references inactive node")
+        return problems
+
+    def set_empirical_covariances(self, bandwidth: float = 0.1):
+        """setEmpiricalCovariances capability (graph_manager2.cpp:111-144):
+        re-derive edge information matrices from residual statistics."""
+        from ..optim.covariance import empirical_information
+
+        new_info = empirical_information(self.graph, bandwidth=bandwidth)
+        self.graph = self.graph._replace(edge_info=new_info)
+
+    def memory_footprint(self) -> dict:
+        """getMemoryFootprint capability (node.cpp:1461): bytes per store."""
+        def nbytes(tree):
+            import jax
+
+            return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+        return {
+            "node_store_bytes": nbytes(self.store),
+            "graph_bytes": nbytes(self.graph),
+            "nodes": self.n_nodes,
+        }
+
+    # ------------------------------------------------------------------
+    def save_state(self, path):
+        """Checkpoint the full SLAM state (capability beyond the reference,
+        which has no mid-run checkpointing — SURVEY.md §5)."""
+        import jax
+
+        arrays = {
+            f"store_{i}": np.asarray(x) for i, x in enumerate(jax.tree.leaves(self.store))
+        }
+        arrays.update(
+            {f"graph_{i}": np.asarray(x) for i, x in enumerate(jax.tree.leaves(self.graph))}
+        )
+        meta = dict(
+            n_nodes=self.n_nodes,
+            n_edges=self.n_edges,
+            n_loop_edges=self.n_loop_edges,
+            n_seq_edges=self.n_seq_edges,
+            timestamps=list(self.timestamps),
+            keyframes=list(self.keyframes),
+            edge_types=list(self.edge_types),
+            edge_pairs=[list(p) for p in self.edge_pairs],
+            adjacency={str(k): sorted(v) for k, v in self.adjacency.items()},
+        )
+        import json
+
+        np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+
+    def load_state(self, path):
+        import jax
+        import json
+
+        data = np.load(path, allow_pickle=False)
+        meta = json.loads(str(data["__meta__"]))
+        store_leaves = [jnp.asarray(data[f"store_{i}"]) for i in range(len(jax.tree.leaves(self.store)))]
+        graph_leaves = [jnp.asarray(data[f"graph_{i}"]) for i in range(len(jax.tree.leaves(self.graph)))]
+        self.store = jax.tree.unflatten(jax.tree.structure(self.store), store_leaves)
+        self.graph = jax.tree.unflatten(jax.tree.structure(self.graph), graph_leaves)
+        self.n_nodes = meta["n_nodes"]
+        self.n_edges = meta["n_edges"]
+        self.n_loop_edges = meta["n_loop_edges"]
+        self.n_seq_edges = meta["n_seq_edges"]
+        self.timestamps = list(meta["timestamps"])
+        self.keyframes = list(meta["keyframes"])
+        self.edge_types = list(meta["edge_types"])
+        self.edge_pairs = [tuple(p) for p in meta["edge_pairs"]]
+        self.adjacency = {int(k): set(v) for k, v in meta["adjacency"].items()}
