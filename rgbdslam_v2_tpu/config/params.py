@@ -72,8 +72,9 @@ PARAM_DEFS = [
     _p("keep_good_nodes", False, "keep unmatched nodes if they have enough features"),
     _p("clear_non_keyframes", False, "free per-frame data for non-keyframes"),
     _p("optimizer_skip_step", 1, "optimize every n-th node"),
-    _p("optimizer_iterations", 20, "max LM/GN iterations per optimize call"),
-    _p("backend_solver", "pcg", "pcg (block-Jacobi CG) or cholesky (dense)"),
+    _p("optimizer_iterations", 20, "max LM/GN iterations per (final) optimize call"),
+    _p("online_optimizer_iterations", 3, "[tpu] LM iterations for online optimize"),
+    _p("backend_solver", "auto", "auto | cholesky (dense direct) | pcg (implicit CG)"),
     _p("pose_relative_to", "first", "vertex fixation: first|previous|inaffected|largest_loop"),
     _p("edge_error_threshold", 5.0, "prune edges with chi2 error above (protocol levels)"),
     _p("huber_delta", 1.0, "robust kernel width for graph edges"),
@@ -106,6 +107,7 @@ PARAM_DEFS = [
     _p("tpu_image_width", 640, "[tpu] static frame width"),
     _p("tpu_mesh_devices", 1, "[tpu] devices in the candidate-sharding mesh"),
     _p("tpu_seed", 0, "[tpu] PRNG seed for RANSAC / sampling"),
+    _p("tpu_drain_interval", 8, "[tpu] frames between host bookkeeping drains (fast path)"),
 ]
 
 _DEFS_BY_NAME = {d.name: d for d in PARAM_DEFS}

@@ -40,6 +40,52 @@ def weighted_kabsch(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.n
     return se3.from_rt(R, t)
 
 
+def weighted_kabsch_quat(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray,
+                         iters: int = 16) -> jnp.ndarray:
+    """Horn's quaternion solution with shifted power iteration — no SVD/eigh.
+
+    TPU-first variant of :func:`weighted_kabsch`: LAPACK-style 3x3 SVDs are
+    iterative scalar code on TPU (~10 ms for ~1.6k hypotheses); the dominant
+    eigenvector of Horn's 4x4 N matrix via power iteration is pure batched
+    VPU math (<1 ms). Used on the RANSAC hot path; degenerate hypotheses
+    produce arbitrary rotations and lose the inlier vote, as with SVD.
+    """
+    w = jnp.maximum(w, 0.0)
+    wsum = jnp.sum(w, axis=-1, keepdims=True) + 1e-12
+    wn = (w / wsum)[..., None]
+    mu_s = jnp.sum(wn * src, axis=-2)
+    mu_d = jnp.sum(wn * dst, axis=-2)
+    sc = src - mu_s[..., None, :]
+    dc = dst - mu_d[..., None, :]
+    S = jnp.einsum("...ni,...nj->...ij", wn[..., 0][..., None] * sc, dc)
+    Sxx, Sxy, Sxz = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
+    Syx, Syy, Syz = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
+    Szx, Szy, Szz = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]
+    N = jnp.stack(
+        [
+            jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1),
+            jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1),
+            jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], -1),
+            jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], -1),
+        ],
+        -2,
+    )  # (..., 4, 4), eigenvector of max eigenvalue = optimal quaternion (wxyz)
+    # Shift so the target eigenvalue is dominant in magnitude.
+    shift = 2.0 * jnp.sum(jnp.abs(S), axis=(-1, -2))[..., None, None] + 1e-6
+    Ns = N + shift * jnp.eye(4, dtype=N.dtype)
+    q = jnp.broadcast_to(
+        jnp.asarray([0.8, 0.35, 0.3, 0.25], N.dtype), N.shape[:-1]
+    )
+    for _ in range(iters):
+        q = (Ns @ q[..., None])[..., 0]
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-20)
+    # q is (w, x, y, z); se3.quat_to_rot expects (x, y, z, w)
+    q_xyzw = jnp.concatenate([q[..., 1:], q[..., :1]], axis=-1)
+    R = se3.quat_to_rot(q_xyzw)
+    t = mu_d - (R @ mu_s[..., None])[..., 0]
+    return se3.from_rt(R, t)
+
+
 def depth_weights(src: jnp.ndarray, dst: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """The reference's 1/(z1*z2) correspondence weights (masked)."""
     z1 = jnp.maximum(src[..., 2], 1e-3)

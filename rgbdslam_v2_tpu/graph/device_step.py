@@ -1,0 +1,193 @@
+"""Fully on-device SLAM step: extract + compare + decide + commit, one chain.
+
+The reference pipelines node construction against graph insertion with
+threads (openni_listener.cpp:788-814 callProcessing). The TPU analog goes
+further: when every frame enters the graph (keep_all_nodes — the benchmark
+protocol's setting, test/test_settings.launch), the per-candidate
+accept/reject logic (RANSAC success, EMM criterion, motion sanity — the
+nodeComparisons decisions, graph_manager.cpp:421-658) is pure elementwise
+math, so the ENTIRE per-frame step runs as one jitted device program with
+donated state and ZERO host round trips. Host bookkeeping (adjacency,
+keyframes, edge types) drains from small summary buffers every few frames
+in one batched pull.
+
+Edge slots are pre-allocated per frame (B visual + 1 fallback), so slot
+indices are deterministic on the host without knowing the decisions.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Intrinsics
+from ..optim.pose_graph import GraphState
+from .compare import compare_to_candidates
+from .node_store import NodeStore
+
+
+class StepSummary(NamedTuple):
+    """Small per-frame outputs for host bookkeeping (pulled in batches)."""
+
+    accepted: jnp.ndarray  # (B,) bool — edge written for candidate b
+    n_inliers: jnp.ndarray  # (B,) int32
+    rmse: jnp.ndarray  # (B,) float32
+    emm_quality: jnp.ndarray  # (B,) float32
+    fallback_used: jnp.ndarray  # () bool — constant-position edge written
+    n_valid_kp: jnp.ndarray  # () int32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "extractor",
+        "cam",
+        "cam_small",
+        "stride",
+        "min_depth",
+        "max_depth",
+        "max_matches",
+        "ratio",
+        "n_hypotheses",
+        "max_mahal_sq",
+        "min_inliers",
+        "emm_skip",
+        "sigma_depth",
+        "observability_threshold",
+        "max_translation_per_s",
+        "max_rotation_deg_per_s",
+        "const_pos_information",
+        "keep_all",
+    ),
+    donate_argnums=(0, 1),
+)
+def slam_step(
+    store: NodeStore,
+    graph: GraphState,
+    rgb,
+    depth,
+    new_id,  # () int32
+    pred_id,  # () int32
+    cand_idx,  # (B,) int32
+    cand_dup,  # (B,) bool — True for padding duplicates (masked out)
+    cand_dt,  # (B,) float32 — |t_new - t_cand| per candidate
+    edge_start,  # () int32 — B+1 pre-allocated slots
+    key,
+    # --- static config ---
+    extractor=None,
+    cam: Intrinsics = None,
+    cam_small: Intrinsics = None,
+    stride: int = 2,
+    min_depth: float = 0.1,
+    max_depth: float = 10.0,
+    max_matches: int = 300,
+    ratio: float = 0.95,
+    n_hypotheses: int = 200,
+    max_mahal_sq: float = 9.0,
+    min_inliers: int = 20,
+    emm_skip: int = 2,
+    sigma_depth: float = 0.01,
+    observability_threshold: float = 0.0,
+    max_translation_per_s: float = 1e10,
+    max_rotation_deg_per_s: float = 1e10,
+    const_pos_information: float = 1e-3,
+    keep_all: bool = True,
+):
+    from .manager import _prepare_and_extract
+
+    kp, depth_small, color_small = _prepare_and_extract(
+        extractor, cam, stride, min_depth, max_depth, rgb, depth
+    )
+    res = compare_to_candidates(
+        kp,
+        depth_small,
+        store,
+        cand_idx,
+        key,
+        cam_small,
+        cam_fx=cam.fx,
+        cam_fy=cam.fy,
+        max_matches=max_matches,
+        ratio=ratio,
+        n_hypotheses=n_hypotheses,
+        max_mahal_sq=max_mahal_sq,
+        min_inliers=min_inliers,
+        emm_skip=emm_skip,
+        sigma_depth=sigma_depth,
+    )
+
+    # ---- on-device accept/reject (nodeComparisons decision logic) ---------
+    B = cand_idx.shape[0]
+    emm_ok = (
+        jnp.asarray(observability_threshold <= 0.0)
+        | ((res.emm_quality > observability_threshold) & (res.emm_inlier_frac > 0.25))
+    )
+    # motion sanity (per-second) — applied to the predecessor slot only
+    T = res.transform
+    trans = jnp.linalg.norm(T[:, :3, 3], axis=-1)
+    tr = T[:, 0, 0] + T[:, 1, 1] + T[:, 2, 2]
+    rot_deg = jnp.degrees(jnp.arccos(jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)))
+    dt = jnp.maximum(cand_dt, 1e-3)
+    sane = (trans / dt <= max_translation_per_s) & (
+        rot_deg / dt <= max_rotation_deg_per_s
+    )
+    is_pred = cand_idx == pred_id
+    accept = res.ransac_ok & emm_ok & ~cand_dup & (sane | ~is_pred)
+
+    any_acc = jnp.any(accept)
+    score = jnp.where(accept, res.n_inliers, -1)
+    best = jnp.argmax(score)
+    base_id = jnp.where(any_acc, cand_idx[best], pred_id)
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    base_T_new = jnp.where(any_acc, T[best], eye4)
+
+    # ---- edge batch: B visual slots + 1 fallback slot ----------------------
+    info_scale = res.n_inliers.astype(jnp.float32) / jnp.maximum(
+        res.rmse * res.rmse, 1e-4
+    )
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+    fallback = (~any_acc) & jnp.asarray(keep_all)
+    e_i = jnp.concatenate([cand_idx, pred_id[None]])
+    e_j = jnp.full((B + 1,), new_id, jnp.int32)
+    e_meas = jnp.concatenate([T, eye4[None]], axis=0)
+    fb_info = const_pos_information / jnp.maximum(cand_dt[0], 1e-3)
+    e_info = jnp.concatenate(
+        [info_scale[:, None, None] * eye6, (fb_info * eye6)[None]], axis=0
+    )
+    e_active = jnp.concatenate([accept, fallback[None]])
+
+    # ---- commit (donated, in-place) ----------------------------------------
+    sl = jnp.arange(B + 1) + edge_start
+    store = store._replace(
+        uv=store.uv.at[new_id].set(kp.uv),
+        xyz=store.xyz.at[new_id].set(kp.xyz),
+        desc=store.desc.at[new_id].set(kp.desc),
+        kp_valid=store.kp_valid.at[new_id].set(kp.valid),
+        depth=store.depth.at[new_id].set(depth_small),
+        color=store.color.at[new_id].set(color_small),
+    )
+    new_pose = graph.poses[base_id] @ base_T_new
+    graph = graph._replace(
+        poses=graph.poses.at[new_id].set(new_pose),
+        node_active=graph.node_active.at[new_id].set(True),
+        edge_i=graph.edge_i.at[sl].set(jnp.where(e_active, e_i, graph.edge_i[sl])),
+        edge_j=graph.edge_j.at[sl].set(jnp.where(e_active, e_j, graph.edge_j[sl])),
+        edge_meas=graph.edge_meas.at[sl].set(
+            jnp.where(e_active[:, None, None], e_meas, graph.edge_meas[sl])
+        ),
+        edge_info=graph.edge_info.at[sl].set(
+            jnp.where(e_active[:, None, None], e_info, graph.edge_info[sl])
+        ),
+        edge_active=graph.edge_active.at[sl].set(e_active | graph.edge_active[sl]),
+    )
+    summary = StepSummary(
+        accepted=accept,
+        n_inliers=res.n_inliers,
+        rmse=res.rmse,
+        emm_quality=res.emm_quality,
+        fallback_used=fallback,
+        n_valid_kp=kp.count(),
+    )
+    return store, graph, summary

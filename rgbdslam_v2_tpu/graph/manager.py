@@ -21,6 +21,7 @@ keyframe lists, and accept/reject decisions on scalar results.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Set
 
 import jax
@@ -41,6 +42,80 @@ EDGE_SEQUENTIAL = 0
 EDGE_LOOP = 1
 EDGE_ODOMETRY = 2
 EDGE_CONST_POSITION = 3
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("extractor", "cam", "stride", "min_depth", "max_depth"),
+)
+def _prepare_and_extract(extractor, cam, stride, min_depth, max_depth, rgb, depth):
+    """Fused per-frame device prep: gray conversion, depth masking, 3x3 min
+    depth, keypoint extraction, EMM-stride subsampling — ONE dispatch."""
+    from ..core.frames import rgb_to_gray
+    from ..models.orb import min_depth_map
+
+    depth = depth.astype(jnp.float32)
+    valid = jnp.isfinite(depth) & (depth > min_depth) & (depth < max_depth)
+    depth = jnp.where(valid, depth, 0.0)
+    gray = rgb_to_gray(rgb) if rgb.ndim == 3 else rgb.astype(jnp.float32)
+    kp = extractor(gray, min_depth_map(depth, valid), cam)
+    rgb_small = (
+        rgb[::stride, ::stride]
+        if rgb.ndim == 3
+        else jnp.zeros(depth[::stride, ::stride].shape + (3,), jnp.uint8)
+    )
+    return kp, depth[::stride, ::stride], rgb_small
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _commit_node(
+    store: NodeStore,
+    graph: GraphState,
+    kp: Keypoints,
+    depth_small,
+    color_small,
+    new_id,  # () int32
+    base_id,  # () int32 — pose anchor node
+    base_T_new,  # (4, 4) — anchor-relative pose (identity for fallback)
+    edge_start,  # () int32 — first free edge slot
+    e_i,  # (B,) int32
+    e_j,  # (B,) int32
+    e_meas,  # (B, 4, 4)
+    e_info,  # (B, 6, 6)
+    e_active,  # (B,) bool
+):
+    """Insert a node + a batch of edges in ONE donated device call.
+
+    Donation makes the (large) store/graph updates in-place — without it
+    every insert copies hundreds of MB of HBM per frame.
+    """
+    store = store._replace(
+        uv=store.uv.at[new_id].set(kp.uv),
+        xyz=store.xyz.at[new_id].set(kp.xyz),
+        desc=store.desc.at[new_id].set(kp.desc),
+        kp_valid=store.kp_valid.at[new_id].set(kp.valid),
+        depth=store.depth.at[new_id].set(depth_small),
+        color=store.color.at[new_id].set(color_small),
+    )
+    new_pose = graph.poses[base_id] @ base_T_new
+    B = e_i.shape[0]
+    sl = jnp.arange(B) + edge_start
+    graph = graph._replace(
+        poses=graph.poses.at[new_id].set(new_pose),
+        node_active=graph.node_active.at[new_id].set(True),
+        edge_i=graph.edge_i.at[sl].set(jnp.where(e_active, e_i, graph.edge_i[sl])),
+        edge_j=graph.edge_j.at[sl].set(jnp.where(e_active, e_j, graph.edge_j[sl])),
+        edge_meas=graph.edge_meas.at[sl].set(
+            jnp.where(e_active[:, None, None], e_meas, graph.edge_meas[sl])
+        ),
+        edge_info=graph.edge_info.at[sl].set(
+            jnp.where(e_active[:, None, None], e_info, graph.edge_info[sl])
+        ),
+        edge_active=graph.edge_active.at[sl].set(
+            e_active | graph.edge_active[sl]
+        ),
+    )
+    return store, graph
 
 
 @dataclasses.dataclass
@@ -110,6 +185,9 @@ class GraphManager:
         self._jit_extract = jax.jit(
             lambda g, d: self.extractor(g, d, self.cam)
         )
+        # fast-path (device-decided) bookkeeping
+        self._pending = []  # (new_id, padded_cand_ids, summary)
+        self._edge_cursor = 0  # slot allocator (fast path pre-allocates B+1)
 
     # ------------------------------------------------------------------
     def set_odometry_provider(self, provider):
@@ -180,20 +258,26 @@ class GraphManager:
         return out[:B]
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _motion_magnitude(T: np.ndarray, dt: float):
+        """Host-side (numpy) translation m/s and rotation deg/s — no device
+        round trips in the per-frame decision path."""
+        dt = max(dt, 1e-3)
+        trans = float(np.linalg.norm(T[:3, 3])) / dt
+        tr = float(T[0, 0] + T[1, 1] + T[2, 2])
+        rot = float(np.degrees(np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0)))) / dt
+        return trans, rot
+
     def _motion_small(self, T: np.ndarray, dt: float) -> bool:
         """isSmallTrafo: motion below per-second minimum -> redundant frame."""
         p = self.params
-        dt = max(dt, 1e-3)
-        trans = float(se3.translation_norm(jnp.asarray(T))) / dt
-        rot = float(se3.rotation_angle(jnp.asarray(T))) * 180.0 / np.pi / dt
+        trans, rot = self._motion_magnitude(T, dt)
         return trans < p["min_translation_meter"] and rot < p["min_rotation_degree"]
 
     def _motion_sane(self, T: np.ndarray, dt: float) -> bool:
         """isBigTrafo inverse: reject impossibly fast motion."""
         p = self.params
-        dt = max(dt, 1e-3)
-        trans = float(se3.translation_norm(jnp.asarray(T))) / dt
-        rot = float(se3.rotation_angle(jnp.asarray(T))) * 180.0 / np.pi / dt
+        trans, rot = self._motion_magnitude(T, dt)
         return trans <= p["max_translation_meter"] and rot <= p["max_rotation_degree"]
 
     # ------------------------------------------------------------------
@@ -231,6 +315,49 @@ class GraphManager:
             node_fixed=self.graph.node_fixed.at[idx].set(fixed),
         )
 
+    def _commit(self, kp, depth_small, color_small, new_id, base_id,
+                base_T_new, edges):
+        """One donated device call: node insert + pose + edge batch; host
+        bookkeeping for adjacency/keyframe structures."""
+        B_e = self.cand_batch + 2
+        if len(edges) > B_e:
+            edges = edges[:B_e]
+        if self.n_edges + len(edges) > self.e_cap:
+            raise RuntimeError("edge capacity exceeded")
+        ei = np.zeros(B_e, np.int32)
+        ej = np.zeros(B_e, np.int32)
+        meas = np.broadcast_to(np.eye(4, dtype=np.float32), (B_e, 4, 4)).copy()
+        info = np.zeros((B_e, 6, 6), np.float32)
+        act = np.zeros(B_e, bool)
+        for s, (i, j, m, inf, _t) in enumerate(edges):
+            ei[s], ej[s], meas[s], info[s], act[s] = i, j, m, inf, True
+        self.store, self.graph = _commit_node(
+            self.store,
+            self.graph,
+            kp,
+            depth_small,
+            color_small,
+            jnp.asarray(new_id, jnp.int32),
+            jnp.asarray(base_id, jnp.int32),
+            jnp.asarray(base_T_new, jnp.float32),
+            jnp.asarray(self.n_edges, jnp.int32),
+            jnp.asarray(ei),
+            jnp.asarray(ej),
+            jnp.asarray(meas),
+            jnp.asarray(info),
+            jnp.asarray(act),
+        )
+        for (i, j, _m, _inf, etype) in edges:
+            self.n_edges += 1
+            self.adjacency.setdefault(i, set()).add(j)
+            self.adjacency.setdefault(j, set()).add(i)
+            self.edge_types.append(etype)
+            self.edge_pairs.append((i, j))
+            if etype == EDGE_LOOP:
+                self.n_loop_edges += 1
+            elif etype == EDGE_SEQUENTIAL:
+                self.n_seq_edges += 1
+
     # ------------------------------------------------------------------
     def add_node(
         self,
@@ -238,21 +365,49 @@ class GraphManager:
         timestamp: float,
         ground_truth_pose: Optional[np.ndarray] = None,
     ) -> bool:
-        """Process one frame; returns True if the node entered the graph."""
-        p = self.params
-        kp = self.extract(frame)
-        depth_small = frame.depth[:: self.emm_stride, :: self.emm_stride]
-        color_small = frame.rgb[:: self.emm_stride, :: self.emm_stride]
+        """Compatibility wrapper over the raw-array fast path."""
+        img = frame.rgb if frame.rgb.ndim == 3 else frame.gray
+        return self.add_frame(img, frame.depth, timestamp, ground_truth_pose)
 
+    def add_frame(
+        self,
+        rgb,
+        depth,
+        timestamp: float,
+        ground_truth_pose: Optional[np.ndarray] = None,
+    ) -> bool:
+        """Process one frame; returns True if the node entered the graph.
+
+        Device-call budget per frame (the TPU-first hot path): one fused
+        prepare+extract dispatch, one candidate-comparison dispatch, one
+        scalar result pull, one donated commit — plus an amortized optimize.
+        """
+        p = self.params
+        kp, depth_small, color_small = _prepare_and_extract(
+            self.extractor,
+            self.cam,
+            self.emm_stride,
+            p["minimum_depth"],
+            p["maximum_depth"],
+            jnp.asarray(rgb),
+            jnp.asarray(depth),
+        )
+
+        eye4 = np.eye(4, dtype=np.float32)
         if self.n_nodes == 0:
             # firstNode (graph_manager.cpp:360-402): fixed at GT or identity.
             pose = (
-                jnp.asarray(ground_truth_pose, jnp.float32)
+                np.asarray(ground_truth_pose, np.float32)
                 if ground_truth_pose is not None
-                else jnp.eye(4, dtype=jnp.float32)
+                else eye4
             )
-            self.store = self.store.insert(0, kp, depth_small, color_small)
-            self._activate_node(0, pose, fixed=True)
+            self._commit(
+                kp, depth_small, color_small, new_id=0, base_id=0,
+                base_T_new=pose, edges=[],
+            )
+            self.graph = self.graph._replace(
+                node_fixed=self.graph.node_fixed.at[0].set(True)
+            )
             self.n_nodes = 1
             self.timestamps.append(timestamp)
             self.keyframes = [0]
@@ -265,6 +420,17 @@ class GraphManager:
         pred_id0 = new_id - 1
         dt0 = max(timestamp - self.timestamps[pred_id0], 1e-3)
 
+        # ---- fast path: whole step decided and committed on device --------
+        if (
+            p["keep_all_nodes"]
+            and self.mapping_enabled
+            and not p["use_robot_odom"]
+            and not p["use_robot_odom_only"]
+            and p["min_translation_meter"] <= 0
+            and p["min_rotation_degree"] <= 0
+        ):
+            return self._add_frame_device(rgb, depth, timestamp, new_id, pred_id0)
+
         # ---- odometry-only mode (use_robot_odom_only, graph_mgr_odom) -----
         if p["use_robot_odom_only"]:
             if self.odometry is None:
@@ -272,13 +438,14 @@ class GraphManager:
             delta = self.odometry.delta(self.timestamps[pred_id0], timestamp)
             if delta is None:
                 return False
-            prev_pose = self.graph.poses[pred_id0]
-            self.store = self.store.insert(new_id, kp, depth_small, color_small)
-            self._activate_node(new_id, prev_pose @ jnp.asarray(delta))
             from .odometry import odometry_information
 
             info = odometry_information(dt0, p["odometry_information_factor"])
-            self._add_edge_full(pred_id0, new_id, delta, info, EDGE_ODOMETRY)
+            self._commit(
+                kp, depth_small, color_small, new_id, pred_id0,
+                np.asarray(delta, np.float32),
+                edges=[(pred_id0, new_id, np.asarray(delta, np.float32), info, EDGE_ODOMETRY)],
+            )
             self.n_nodes += 1
             self.timestamps.append(timestamp)
             return True
@@ -305,13 +472,14 @@ class GraphManager:
             emm_skip=p["emm_skip_step"],
             sigma_depth=p["sigma_depth"],
         )
-        # Pull scalars to host once.
-        T_all = np.asarray(res.transform)
-        n_inl = np.asarray(res.n_inliers)
-        rmse = np.asarray(res.rmse)
-        ok = np.asarray(res.ransac_ok)
-        emm_q = np.asarray(res.emm_quality)
-        emm_f = np.asarray(res.emm_inlier_frac)
+        # Pull scalars to host in ONE transfer.
+        host = jax.device_get(res)
+        T_all = host.transform
+        n_inl = host.n_inliers
+        rmse = host.rmse
+        ok = host.ransac_ok
+        emm_q = host.emm_quality
+        emm_f = host.emm_inlier_frac
 
         pred_id = new_id - 1
         dt_pred = max(timestamp - self.timestamps[pred_id], 1e-3)
@@ -362,14 +530,13 @@ class GraphManager:
         ):
             return False
 
-        took_node = False
+        eye4 = np.eye(4, dtype=np.float32)
+        edges = []  # (i, j, meas, info6x6, etype)
         if accepted and self.mapping_enabled:
             # Initial pose from the best (most inliers) accepted edge.
             best_b = max(accepted, key=lambda b: n_inl[b])
-            base_pose = self.graph.poses[padded[best_b]]
-            new_pose = base_pose @ jnp.asarray(T_all[best_b])
-            self.store = self.store.insert(new_id, kp, depth_small, color_small)
-            self._activate_node(new_id, new_pose)
+            base_id = padded[best_b]
+            base_T_new = np.asarray(T_all[best_b], np.float32)
             geodesic = self._geodesic_set(pred_id, p["geodesic_depth"])
             for b in accepted:
                 cid = padded[b]
@@ -379,20 +546,22 @@ class GraphManager:
                     if (cid == pred_id or cid in geodesic)
                     else EDGE_LOOP
                 )
-                self._add_edge(cid, new_id, T_all[b], info_scale, etype)
-            took_node = True
+                edges.append(
+                    (cid, new_id, np.asarray(T_all[b], np.float32),
+                     np.eye(6, dtype=np.float32) * info_scale, etype)
+                )
         elif p["keep_all_nodes"] or (
             p["keep_good_nodes"] and int(kp.count()) > p["min_keypoints"]
         ):
             # Fallback constant-position edge (graph_manager.cpp:636-655).
-            prev_pose = self.graph.poses[pred_id]
-            self.store = self.store.insert(new_id, kp, depth_small, color_small)
-            self._activate_node(new_id, prev_pose)
+            base_id = pred_id
+            base_T_new = eye4
             info_scale = p["constant_position_information"] / dt_pred
-            self._add_edge(pred_id, new_id, np.eye(4, dtype=np.float32), info_scale, EDGE_CONST_POSITION)
-            took_node = True
-
-        if not took_node:
+            edges.append(
+                (pred_id, new_id, eye4,
+                 np.eye(6, dtype=np.float32) * info_scale, EDGE_CONST_POSITION)
+            )
+        else:
             return False
 
         # Robot odometry edge alongside visual edges (graph_mgr_odom.cpp:62).
@@ -402,8 +571,9 @@ class GraphManager:
                 from .odometry import odometry_information
 
                 info = odometry_information(dt_pred, p["odometry_information_factor"])
-                self._add_edge_full(pred_id, new_id, delta, info, EDGE_ODOMETRY)
+                edges.append((pred_id, new_id, np.asarray(delta, np.float32), info, EDGE_ODOMETRY))
 
+        self._commit(kp, depth_small, color_small, new_id, base_id, base_T_new, edges)
         self.n_nodes += 1
         self.timestamps.append(timestamp)
 
@@ -415,8 +585,140 @@ class GraphManager:
 
         self.nodes_since_optimize += 1
         if self.nodes_since_optimize >= p["optimizer_skip_step"]:
-            self.optimize()
+            # online: dispatch async with a lighter budget; the final
+            # evaluation protocol runs the heavy blocking optimization
+            self.optimize(
+                iterations=p["online_optimizer_iterations"],
+                blocking=False,
+                pcg_iters=24,
+            )
         return True
+
+    # ------------------------------------------------------------------
+    def _add_frame_device(self, rgb, depth, timestamp, new_id, pred_id) -> bool:
+        """Zero-host-round-trip step (see graph/device_step.py): dispatch one
+        donated device program; bookkeeping drains in batches."""
+        from .device_step import slam_step
+
+        p = self.params
+        cand_ids = self.select_candidates(new_id)  # host, possibly-stale adjacency
+        B = self.cand_batch
+        padded = (cand_ids + [cand_ids[0]] * B)[:B]
+        dup = [False] * len(cand_ids) + [True] * (B - len(cand_ids))
+        dup = dup[:B]
+        dts = [max(abs(timestamp - self.timestamps[c]), 1e-3) for c in padded]
+        # slot 0 must be the predecessor (fallback dt uses cand_dt[0])
+        if padded[0] != pred_id and pred_id in padded:
+            k = padded.index(pred_id)
+            padded[0], padded[k] = padded[k], padded[0]
+            dup[0], dup[k] = dup[k], dup[0]
+            dts[0], dts[k] = dts[k], dts[0]
+
+        edge_start = self.n_edges
+        if edge_start + B + 1 > self.e_cap:
+            raise RuntimeError("edge capacity exceeded")
+        self.store, self.graph, summary = slam_step(
+            self.store,
+            self.graph,
+            jnp.asarray(rgb),
+            jnp.asarray(depth),
+            jnp.asarray(new_id, jnp.int32),
+            jnp.asarray(pred_id, jnp.int32),
+            jnp.asarray(padded, jnp.int32),
+            jnp.asarray(dup),
+            jnp.asarray(dts, jnp.float32),
+            jnp.asarray(edge_start, jnp.int32),
+            self._next_key(),
+            extractor=self.extractor,
+            cam=self.cam,
+            cam_small=self.cam_small,
+            stride=self.emm_stride,
+            min_depth=p["minimum_depth"],
+            max_depth=p["maximum_depth"],
+            max_matches=p["max_matches"],
+            ratio=p["nn_distance_ratio"],
+            n_hypotheses=p["ransac_iterations"],
+            max_mahal_sq=p["max_dist_for_inliers"] ** 2,
+            min_inliers=p["min_matches"],
+            emm_skip=p["emm_skip_step"],
+            sigma_depth=p["sigma_depth"],
+            observability_threshold=p["observability_threshold"],
+            max_translation_per_s=p["max_translation_meter"],
+            max_rotation_deg_per_s=p["max_rotation_degree"],
+            const_pos_information=p["constant_position_information"],
+            keep_all=True,
+        )
+        # Reserve the B+1 slots; host lists fill at drain time.
+        self.n_edges = edge_start + B + 1
+        self.edge_pairs.extend([None] * (B + 1))
+        self.edge_types.extend([-1] * (B + 1))
+        self._pending.append((new_id, list(padded), edge_start, summary))
+        self.n_nodes += 1
+        self.timestamps.append(timestamp)
+        if len(self._pending) >= p["tpu_drain_interval"]:
+            self._drain_pending()
+        self.nodes_since_optimize += 1
+        if self.nodes_since_optimize >= p["optimizer_skip_step"]:
+            self.optimize(
+                iterations=p["online_optimizer_iterations"],
+                blocking=False,
+                pcg_iters=24,
+            )
+        return True
+
+    def _drain_pending(self):
+        """Batch-pull step summaries; update adjacency/keyframes/edge lists."""
+        if not self._pending:
+            return
+        pend = self._pending
+        self._pending = []
+        summaries = jax.device_get([s for (_, _, _, s) in pend])
+        for (new_id, padded, edge_start, _), s in zip(pend, summaries):
+            pred_id = new_id - 1
+            B = len(padded)
+            accepted_ids = []
+            geodesic = self._geodesic_set(pred_id, self.params["geodesic_depth"])
+            decisions = []
+            for b, cid in enumerate(padded):
+                slot = edge_start + b
+                if bool(s.accepted[b]):
+                    etype = (
+                        EDGE_SEQUENTIAL
+                        if (cid == pred_id or cid in geodesic)
+                        else EDGE_LOOP
+                    )
+                    self.edge_pairs[slot] = (cid, new_id)
+                    self.edge_types[slot] = etype
+                    self.adjacency.setdefault(cid, set()).add(new_id)
+                    self.adjacency.setdefault(new_id, set()).add(cid)
+                    accepted_ids.append(cid)
+                    if etype == EDGE_LOOP:
+                        self.n_loop_edges += 1
+                    else:
+                        self.n_seq_edges += 1
+                else:
+                    self.edge_pairs[slot] = (cid, new_id)
+                decisions.append(
+                    MatchDecision(
+                        cand_id=cid,
+                        accepted=bool(s.accepted[b]),
+                        reason="ok" if bool(s.accepted[b]) else "rejected",
+                        n_inliers=int(s.n_inliers[b]),
+                        rmse=float(s.rmse[b]),
+                        emm_quality=float(s.emm_quality[b]),
+                    )
+                )
+            fb_slot = edge_start + B
+            self.edge_pairs[fb_slot] = (pred_id, new_id)
+            if bool(s.fallback_used):
+                self.edge_types[fb_slot] = EDGE_CONST_POSITION
+                self.adjacency.setdefault(pred_id, set()).add(new_id)
+                self.adjacency.setdefault(new_id, set()).add(pred_id)
+            self.last_decisions = decisions
+            # keyframe bookkeeping (addKeyframe :784-809)
+            if not any(c in self.keyframes for c in accepted_ids):
+                if self.keyframes[-1] != pred_id:
+                    self.keyframes.append(pred_id)
 
     # ------------------------------------------------------------------
     def _geodesic_set(self, start: int, depth: int) -> Set[int]:
@@ -456,16 +758,29 @@ class GraphManager:
             fixed = fixed.at[0].set(True)
         self.graph = self.graph._replace(node_fixed=fixed)
 
-    def optimize(self, iterations: Optional[int] = None) -> float:
+    def optimize(self, iterations: Optional[int] = None, blocking: bool = True,
+                 pcg_iters: Optional[int] = None) -> float:
+        """Pose-graph optimization. With blocking=False the call only
+        *dispatches* the device computation and returns immediately — the
+        TPU analog of the reference's background optimization thread
+        (concurrent_optimization, graph_manager.cpp:900-909): the host keeps
+        feeding frames while the optimizer output materializes.
+        """
+        self._drain_pending()
         p = self.params
+        solver = {"cholesky": "dense", "dense": "dense", "pcg": "pcg"}.get(
+            p["backend_solver"], "auto"
+        )
         self._apply_fixation()
         self.graph, chi2, _ = optimize(
             self.graph,
             iterations=iterations or p["optimizer_iterations"],
             huber_delta=p["huber_delta"],
+            pcg_iters=pcg_iters if pcg_iters is not None else 64,
+            solver=solver,
         )
         self.nodes_since_optimize = 0
-        return float(chi2)
+        return float(chi2) if blocking else float("nan")
 
     # ------------------------------------------------------------------
     def prune_edges_above(self, threshold: float) -> int:
@@ -474,6 +789,7 @@ class GraphManager:
         Deactivates non-sequential edges with chi² above threshold; pruned
         consecutive-node edges are replaced by constant-position edges.
         """
+        self._drain_pending()
         chi2 = np.asarray(edge_chi2(self.graph))
         active = np.asarray(self.graph.edge_active)
         n_pruned = 0
@@ -517,6 +833,7 @@ class GraphManager:
             self.graph = self.graph._replace(node_fixed=jnp.asarray(mask))
 
     def statistics(self) -> dict:
+        self._drain_pending()
         return {
             "nodes": self.n_nodes,
             "edges": self.n_edges,
@@ -530,6 +847,7 @@ class GraphManager:
     def delete_last_frame(self):
         """deleteLastFrame capability (graph_manager2.cpp:61): remove the
         newest node and its edges from the active graph."""
+        self._drain_pending()
         if self.n_nodes <= 1:
             return
         nid = self.n_nodes - 1
@@ -556,6 +874,7 @@ class GraphManager:
 
     def sanity_check(self) -> List[str]:
         """sanityCheck capability (graph_manager.cpp:1347)."""
+        self._drain_pending()
         problems = []
         poses = self.poses()
         if not np.isfinite(poses).all():
@@ -575,6 +894,7 @@ class GraphManager:
     def set_empirical_covariances(self, bandwidth: float = 0.1):
         """setEmpiricalCovariances capability (graph_manager2.cpp:111-144):
         re-derive edge information matrices from residual statistics."""
+        self._drain_pending()
         from ..optim.covariance import empirical_information
 
         new_info = empirical_information(self.graph, bandwidth=bandwidth)
@@ -582,6 +902,7 @@ class GraphManager:
 
     def memory_footprint(self) -> dict:
         """getMemoryFootprint capability (node.cpp:1461): bytes per store."""
+        self._drain_pending()
         def nbytes(tree):
             import jax
 
@@ -597,6 +918,7 @@ class GraphManager:
     def save_state(self, path):
         """Checkpoint the full SLAM state (capability beyond the reference,
         which has no mid-run checkpointing — SURVEY.md §5)."""
+        self._drain_pending()
         import jax
 
         arrays = {
@@ -621,6 +943,8 @@ class GraphManager:
         np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
     def load_state(self, path):
+        self._drain_pending()
+        self._pending = []
         import jax
         import json
 

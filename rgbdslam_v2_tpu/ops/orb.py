@@ -72,8 +72,17 @@ def steered_brief(img: jnp.ndarray, uv: jnp.ndarray, theta: jnp.ndarray) -> jnp.
     qxr, qyr = rot(jnp.asarray(PATTERN_Q))
     x0 = uv[:, 0:1]
     y0 = uv[:, 1:2]
-    p_val = bilinear_sample(img, x0 + pxr, y0 + pyr)  # (K, 256)
-    q_val = bilinear_sample(img, x0 + qxr, y0 + qyr)
+    # Nearest-neighbor sampling (one gather instead of four): the smoothed
+    # image makes subpixel interpolation unnecessary — classic ORB rounds too.
+    H, W = img.shape
+
+    def nn_sample(x, y):
+        xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
+        return img[yi, xi]
+
+    p_val = nn_sample(x0 + pxr, y0 + pyr)  # (K, 256)
+    q_val = nn_sample(x0 + qxr, y0 + qyr)
     bits = p_val > q_val
     return jnp.where(bits, jnp.int8(1), jnp.int8(-1))
 

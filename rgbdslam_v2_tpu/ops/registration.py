@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import se3
-from ..core.alignment import weighted_kabsch
+from ..core.alignment import weighted_kabsch, weighted_kabsch_quat
 from ..core.noise import point_covariance_diag
 
 
@@ -128,13 +128,21 @@ def ransac_register(
     s_pts = src_xyz[idx]  # (H, S, 3)
     d_pts = dst_xyz[idx]
     s_w = w_depth[idx]
-    T_h = jax.vmap(weighted_kabsch)(s_pts, d_pts, s_w)  # (H, 4, 4)
+    T_h = weighted_kabsch_quat(s_pts, d_pts, s_w)  # (H, 4, 4), batched
     # Add the identity hypothesis.
     T_h = jnp.concatenate([T_h, jnp.eye(4, dtype=T_h.dtype)[None]], axis=0)
 
     # --- score all hypotheses against all matches --------------------------
+    # Hypothesis sweep uses an ISOTROPIC Mahalanobis gate (scalar variance
+    # per match = mean of the summed diagonal covariances): the full
+    # anisotropic form costs (H x M) 3x3 solves and dominates the kernel;
+    # ranking is insensitive to the difference. Refinement and the final
+    # inlier set below use the full errorFunction2 covariance model.
+    iso_var = jnp.mean(src_cov + dst_cov, axis=-1)  # (M,)
+
     def score(T):
-        m2 = mahalanobis_sq(T, src_xyz, dst_xyz, src_cov, dst_cov)
+        diff = se3.apply(T, src_xyz) - dst_xyz
+        m2 = jnp.sum(diff * diff, axis=-1) / iso_var
         inl = match_valid & (m2 < max_mahal_sq)
         n = jnp.sum(inl.astype(jnp.int32))
         err = jnp.sum(jnp.where(inl, m2, 0.0)) / jnp.maximum(n, 1)
@@ -150,6 +158,8 @@ def ransac_register(
     def refine_step(carry, _):
         T, inliers = carry
         w = jnp.where(inliers, w_depth, 0.0)
+        # exact SVD here: only refine_iterations fits per candidate (the
+        # hypothesis sweep above used the fast quaternion solver)
         T2 = weighted_kabsch(src_xyz, dst_xyz, w)
         m2 = mahalanobis_sq(T2, src_xyz, dst_xyz, src_cov, dst_cov)
         inl2 = match_valid & (m2 < max_mahal_sq)

@@ -160,6 +160,38 @@ def _pcg(matvec, precond, b, iters: int, tol: float = 1e-6):
     return x
 
 
+def _dense_delta(g, Ji, Jj, info_w, b, free, lam_diag):
+    """Assemble the full (6N, 6N) normal matrix and solve by Cholesky.
+
+    TPU-idiomatic for small/medium graphs: one large MXU factorization
+    (6N^3/3 FLOPs ~ milliseconds for N <= 1024) replaces hundreds of tiny
+    serial PCG ops that are launch-latency-bound (measured ~2 s per optimize
+    at N=256 with PCG vs ~tens of ms dense). g2o's cholmod/csparse direct
+    solvers are the reference analog (graph_manager.cpp:107-201).
+    """
+    N = g.poses.shape[0]
+    Hii = jnp.einsum("eki,ekl,elj->eij", Ji, info_w, Ji)
+    Hjj = jnp.einsum("eki,ekl,elj->eij", Jj, info_w, Jj)
+    Hij = jnp.einsum("eki,ekl,elj->eij", Ji, info_w, Jj)
+    Hblk = (
+        jnp.zeros((N, N, 6, 6), b.dtype)
+        .at[g.edge_i, g.edge_i].add(Hii, mode="drop")
+        .at[g.edge_j, g.edge_j].add(Hjj, mode="drop")
+        .at[g.edge_i, g.edge_j].add(Hij, mode="drop")
+        .at[g.edge_j, g.edge_i].add(jnp.swapaxes(Hij, -1, -2), mode="drop")
+    )
+    H = Hblk.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+    free_flat = jnp.repeat(free, 6)
+    # zero rows/cols of fixed nodes, unit diagonal there; LM damping on free.
+    H = H * free_flat[:, None] * free_flat[None, :]
+    damp = jnp.repeat(lam_diag[:, 0], 6) * free_flat + (1.0 - free_flat)
+    H = H + jnp.diag(damp)
+    rhs = (-b * free[:, None]).reshape(-1)
+    L, lower = jax.scipy.linalg.cho_factor(H, lower=True)
+    delta = jax.scipy.linalg.cho_solve((L, lower), rhs)
+    return delta.reshape(N, 6) * free[:, None]
+
+
 def _chol_solve_6(Hb: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Batched 6x6 SPD solve for the block-Jacobi preconditioner."""
     L = jnp.linalg.cholesky(Hb)
@@ -174,6 +206,7 @@ def lm_iteration(
     lam: jnp.ndarray,
     huber_delta: float = 1.0,
     pcg_iters: int = 64,
+    solver: str = "pcg",
 ):
     """One Levenberg-Marquardt iteration. Returns (new_state, new_lam, chi2_before)."""
     r, Ji, Jj, info_w, chi2_e = _edge_terms(g, huber_delta)
@@ -183,15 +216,19 @@ def lm_iteration(
     eye6 = jnp.eye(6, dtype=r.dtype)
     # Scalar LM damping per node: lam * mean block-diagonal scale + floor.
     lam_diag = lam * jnp.einsum("nii->n", Hdiag)[:, None] / 6.0 + lam * 1e-3 + 1e-8
-    Hprec = Hdiag + lam_diag[..., None] * eye6 + (1.0 - free)[:, None, None] * eye6
 
-    def matvec(v):
-        return _hessian_matvec(g, Ji, Jj, info_w, free, lam_diag, v)
+    if solver == "dense":
+        delta = _dense_delta(g, Ji, Jj, info_w, b, free, lam_diag)
+    else:
+        Hprec = Hdiag + lam_diag[..., None] * eye6 + (1.0 - free)[:, None, None] * eye6
 
-    def precond(v):
-        return _chol_solve_6(Hprec, v) * free[:, None]
+        def matvec(v):
+            return _hessian_matvec(g, Ji, Jj, info_w, free, lam_diag, v)
 
-    delta = _pcg(matvec, precond, -b * free[:, None], pcg_iters)
+        def precond(v):
+            return _chol_solve_6(Hprec, v) * free[:, None]
+
+        delta = _pcg(matvec, precond, -b * free[:, None], pcg_iters)
     # Candidate update: X <- X exp(delta)
     new_poses = g.poses @ se3.exp_se3(delta)
     g_new = g._replace(poses=new_poses)
@@ -208,16 +245,24 @@ def optimize(
     huber_delta: float = 1.0,
     pcg_iters: int = 64,
     chi2_rel_tol: float = 1e-4,
+    solver: str = "auto",
 ):
     """Run LM to convergence (fixed max iterations, early-stop by masking).
 
     Mirrors optimizeGraphImpl's iterate-until-chi²-improvement-small loop
     (graph_manager.cpp:998-1014). Returns (state, final_chi2, n_iter_used).
+
+    solver: "dense" (direct block Cholesky — fastest on TPU up to ~1024
+    nodes), "pcg" (implicit matvec CG — beyond dense capacity), or "auto".
     """
+    if solver == "auto":
+        solver = "dense" if g.poses.shape[0] <= 1024 else "pcg"
 
     def body(carry):
         g, lam, prev_chi2, it, done = carry
-        g2, lam2, chi2_before, chi2_after = lm_iteration(g, lam, huber_delta, pcg_iters)
+        g2, lam2, chi2_before, chi2_after = lm_iteration(
+            g, lam, huber_delta, pcg_iters, solver
+        )
         rel = (chi2_before - chi2_after) / jnp.maximum(chi2_before, 1e-12)
         done2 = done | (rel < chi2_rel_tol) & (chi2_after <= chi2_before)
         return (g2, lam2, chi2_after, it + 1, done2)

@@ -55,16 +55,8 @@ class SlamPipeline:
 
     # ------------------------------------------------------------------
     def process_frame(self, rgb, depth, timestamp: float, gt_pose=None) -> bool:
-        p = self.params
-        frame = make_frame(
-            jnp.asarray(rgb),
-            jnp.asarray(depth),
-            self.cam,
-            min_depth=p["minimum_depth"],
-            max_depth=p["maximum_depth"],
-        )
         t0 = time.perf_counter()
-        took = self.manager.add_node(frame, timestamp, gt_pose)
+        took = self.manager.add_frame(rgb, depth, timestamp, gt_pose)
         self.wall_time += time.perf_counter() - t0
         self.n_processed += 1
         if not took:
@@ -72,24 +64,52 @@ class SlamPipeline:
         return took
 
     def run_arrays(self, rgbs, depths, stamps, gt_poses=None) -> None:
-        """Feed pre-loaded arrays (synthetic data path)."""
+        """Feed pre-loaded arrays with double-buffered host->device transfer.
+
+        The device_put of frame i+1 is dispatched before frame i's results
+        are consumed, hiding transfer latency behind compute — the TPU analog
+        of the reference's concurrent_node_construction pipelining
+        (openni_listener.cpp:788-814).
+        """
+        import jax
+
         p = self.params
         skip0 = p["skip_first_n_frames"]
         step = max(1, p["data_skip_step"])
-        for i in range(skip0, len(rgbs), step):
+        idxs = list(range(skip0, len(rgbs), step))
+        if not idxs:
+            return
+        nxt = (jax.device_put(rgbs[idxs[0]]), jax.device_put(depths[idxs[0]]))
+        for k, i in enumerate(idxs):
+            rgb_d, depth_d = nxt
+            if k + 1 < len(idxs):
+                j = idxs[k + 1]
+                nxt = (jax.device_put(rgbs[j]), jax.device_put(depths[j]))
             gt = gt_poses[0] if (gt_poses is not None and self.manager.n_nodes == 0) else None
-            self.process_frame(rgbs[i], depths[i], float(stamps[i]), gt)
+            self.process_frame(rgb_d, depth_d, float(stamps[i]), gt)
 
     def run_tum(self, dataset: TumDataset, max_frames: Optional[int] = None) -> None:
+        import jax
+
         p = self.params
         skip0 = p["skip_first_n_frames"]
         step = max(1, p["data_skip_step"])
         idxs = list(range(skip0, len(dataset), step))
         if max_frames:
             idxs = idxs[:max_frames]
-        for i in idxs:
+        if not idxs:
+            return
+
+        def put(i):
             ts, rgb, depth = dataset.load(i)
-            self.process_frame(rgb, depth, ts)
+            return ts, jax.device_put(rgb), jax.device_put(depth)
+
+        nxt = put(idxs[0])
+        for k, i in enumerate(idxs):
+            ts, rgb_d, depth_d = nxt
+            if k + 1 < len(idxs):
+                nxt = put(idxs[k + 1])
+            self.process_frame(rgb_d, depth_d, ts)
 
     # ------------------------------------------------------------------
     def evaluation_protocol(

@@ -109,14 +109,15 @@ def test_empirical_covariances_change_info(seq):
     pipe = SlamPipeline(CAM, _params())
     pipe.run_arrays(rgbs[:6], depths[:6], stamps[:6], gt_poses=poses)
     mgr = pipe.manager
-    before = np.asarray(mgr.graph.edge_info[: mgr.n_edges]).copy()
+    active = np.asarray(mgr.graph.edge_active)
+    before = np.asarray(mgr.graph.edge_info)[active].copy()
     mgr.set_empirical_covariances()
-    after = np.asarray(mgr.graph.edge_info[: mgr.n_edges])
+    after = np.asarray(mgr.graph.edge_info)[active]
     assert not np.allclose(before, after)
-    # still symmetric positive-ish diagonals
+    # still positive diagonals on active edges
     assert (np.einsum("eii->e", after) > 0).all()
-    # inactive slots untouched
-    tail = np.asarray(mgr.graph.edge_info[mgr.n_edges :])
+    # inactive slots untouched (zero info)
+    tail = np.asarray(mgr.graph.edge_info)[~active]
     assert np.allclose(tail, 0)
 
 
