@@ -20,6 +20,7 @@ All hot math is batched over edges — MXU/VPU friendly, no sparse formats.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -239,24 +240,11 @@ def lm_iteration(
     return g._replace(poses=poses_out), lam_out, chi2, jnp.where(improved, chi2_new, chi2)
 
 
-def optimize(
-    g: GraphState,
-    iterations: int = 20,
-    huber_delta: float = 1.0,
-    pcg_iters: int = 64,
-    chi2_rel_tol: float = 1e-4,
-    solver: str = "auto",
-):
-    """Run LM to convergence (fixed max iterations, early-stop by masking).
-
-    Mirrors optimizeGraphImpl's iterate-until-chi²-improvement-small loop
-    (graph_manager.cpp:998-1014). Returns (state, final_chi2, n_iter_used).
-
-    solver: "dense" (direct block Cholesky — fastest on TPU up to ~1024
-    nodes), "pcg" (implicit matvec CG — beyond dense capacity), or "auto".
-    """
-    if solver == "auto":
-        solver = "dense" if g.poses.shape[0] <= 1024 else "pcg"
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "huber_delta", "pcg_iters", "chi2_rel_tol", "solver"),
+)
+def _optimize_jit(g, iterations, huber_delta, pcg_iters, chi2_rel_tol, solver):
 
     def body(carry):
         g, lam, prev_chi2, it, done = carry
@@ -277,3 +265,29 @@ def optimize(
         cond, lambda c: body(c), (g, lam0, chi0, jnp.asarray(0), jnp.asarray(False))
     )
     return g, chi2, it
+
+
+def optimize(
+    g: GraphState,
+    iterations: int = 20,
+    huber_delta: float = 1.0,
+    pcg_iters: int = 64,
+    chi2_rel_tol: float = 1e-4,
+    solver: str = "auto",
+):
+    """Run LM to convergence (fixed max iterations, early-stop by masking).
+
+    Mirrors optimizeGraphImpl's iterate-until-chi²-improvement-small loop
+    (graph_manager.cpp:998-1014). Returns (state, final_chi2, n_iter_used).
+
+    solver: "dense" (direct block Cholesky — fastest on TPU up to ~1024
+    nodes), "pcg" (implicit matvec CG — beyond dense capacity), or "auto".
+    The body is jit-wrapped (re-tracing the LM loop per call costs ~2 s of
+    host time; the compiled program dispatches in ~1 ms).
+    """
+    if solver == "auto":
+        solver = "dense" if g.poses.shape[0] <= 1024 else "pcg"
+    return _optimize_jit(
+        g, int(iterations), float(huber_delta), int(pcg_iters),
+        float(chi2_rel_tol), solver,
+    )
