@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import se3
@@ -68,21 +69,26 @@ def observation_likelihood(
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cam.width - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cam.height - 1)
 
-    # Neighborhood search: 3x3 offsets with stride 2 (5x5 footprint, 9 taps).
-    best_absdiff = jnp.full(z_pred.shape, jnp.inf)
-    best_obs = jnp.zeros_like(z_pred)
-    has_obs = jnp.zeros(z_pred.shape, bool)
-    for dy in (-2, 0, 2):
-        for dx in (-2, 0, 2):
-            yy = jnp.clip(vi + dy, 0, cam.height - 1)
-            xx = jnp.clip(ui + dx, 0, cam.width - 1)
-            obs = old_depth[yy, xx]
-            ok = obs > 0
-            diff = jnp.abs(obs - z_pred)
-            better = ok & (diff < best_absdiff)
-            best_absdiff = jnp.where(better, diff, best_absdiff)
-            best_obs = jnp.where(better, obs, best_obs)
-            has_obs = has_obs | ok
+    # Neighborhood search via min/max depth pooling: the 5x5 window's best
+    # explanation of z_pred is clip(z_pred, min, max) when window depths fill
+    # their [min, max] range. Two dense reduce_windows + 2 gathers replace
+    # 9 random gathers per point (the gathers dominated the kernel on TPU).
+    r = 2
+    d_inf = jnp.where(old_depth > 0, old_depth, jnp.inf)
+    lo_map = -jax.lax.reduce_window(
+        -d_inf, -jnp.inf, jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1),
+        [(r, r), (r, r)]
+    )
+    d_neg = jnp.where(old_depth > 0, old_depth, -jnp.inf)
+    hi_map = jax.lax.reduce_window(
+        d_neg, -jnp.inf, jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1),
+        [(r, r), (r, r)]
+    )
+    lo = lo_map[vi, ui]
+    hi = hi_map[vi, ui]
+    has_obs = jnp.isfinite(lo)
+    best_obs = jnp.clip(z_pred, lo, hi)
+    best_obs = jnp.where(has_obs, best_obs, 0.0)
     counted = in_img & has_obs
     sigma2 = depth_covariance(z_pred, sigma_depth) + depth_covariance(
         best_obs, sigma_depth
