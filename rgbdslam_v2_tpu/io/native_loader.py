@@ -1,0 +1,150 @@
+"""ctypes bridge to the native C++ dataset loader (native/rgbd_loader.cpp).
+
+Capability parity: the reference's input stack is native (roscpp +
+cv_bridge decoding on the callback threads, openni_listener.cpp). This
+loader decodes TUM PNGs on C++ worker threads with a bounded prefetch ring
+so the Python host thread stays free to dispatch TPU work.
+
+Builds the shared library on first use (g++, libpng); falls back cleanly if
+the toolchain or libpng is unavailable (use_native=False paths use cv2).
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_SRC = _NATIVE_DIR / "rgbd_loader.cpp"
+_LIB = _NATIVE_DIR / "librgbd_loader.so"
+
+_lib = None
+_build_error: Optional[str] = None
+
+
+def _ensure_built():
+    global _lib, _build_error
+    if _lib is not None or _build_error is not None:
+        return _lib
+    try:
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                [
+                    "g++", "-O3", "-shared", "-fPIC", str(_SRC),
+                    "-o", str(_LIB), "-lpng", "-lpthread",
+                ],
+                check=True,
+                capture_output=True,
+                text=True,
+            )
+        lib = ctypes.CDLL(str(_LIB))
+        lib.loader_create.restype = ctypes.c_void_p
+        lib.loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.loader_next.restype = ctypes.c_int
+        lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.decode_rgb_png.restype = ctypes.c_int
+        lib.decode_rgb_png.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int
+        ]
+        lib.decode_depth_png.restype = ctypes.c_int
+        lib.decode_depth_png.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int
+        ]
+        _lib = lib
+    except Exception as e:  # toolchain/libpng missing — callers fall back
+        _build_error = str(e)
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _ensure_built() is not None
+
+
+class NativeTumLoader:
+    """Iterate a TumDataset with C++ threaded decode + prefetch.
+
+    Yields (timestamp, rgb uint8 (H, W, 3), depth float32 meters).
+    """
+
+    def __init__(self, dataset, width: int = 640, height: int = 480,
+                 threads: int = 2, queue_depth: int = 8):
+        lib = _ensure_built()
+        if lib is None:
+            raise RuntimeError(f"native loader unavailable: {_build_error}")
+        self._lib = lib
+        self.dataset = dataset
+        self.width = width
+        self.height = height
+        n = len(dataset)
+        rgb_paths = (ctypes.c_char_p * n)(
+            *[str(dataset.root / p[1]).encode() for p in dataset.pairs]
+        )
+        depth_paths = (ctypes.c_char_p * n)(
+            *[str(dataset.root / p[3]).encode() for p in dataset.pairs]
+        )
+        self._n = n
+        self._handle = lib.loader_create(
+            rgb_paths, depth_paths, n, width, height, threads, queue_depth
+        )
+        self._rgb_buf = np.empty((height, width, 3), np.uint8)
+        self._depth_buf = np.empty((height, width), np.uint16)
+        self._pos = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._pos >= self._n:
+            raise StopIteration
+        idx = self._lib.loader_next(
+            self._handle,
+            self._rgb_buf.ctypes.data_as(ctypes.c_void_p),
+            self._depth_buf.ctypes.data_as(ctypes.c_void_p),
+        )
+        if idx < 0:
+            raise StopIteration if idx == -1 else RuntimeError(
+                f"native decode failed at frame {self._pos} (code {idx})"
+            )
+        self._pos += 1
+        ts = self.dataset.pairs[idx][0]
+        return ts, self._rgb_buf.copy(), self._depth_buf.astype(np.float32) / 5000.0
+
+    def close(self):
+        if self._handle:
+            self._lib.loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def decode_rgb(path, width=640, height=480) -> np.ndarray:
+    lib = _ensure_built()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_build_error}")
+    out = np.empty((height, width, 3), np.uint8)
+    if lib.decode_rgb_png(str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), width, height):
+        raise RuntimeError(f"decode failed: {path}")
+    return out
+
+
+def decode_depth(path, width=640, height=480) -> np.ndarray:
+    lib = _ensure_built()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_build_error}")
+    out = np.empty((height, width), np.uint16)
+    if lib.decode_depth_png(str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), width, height):
+        raise RuntimeError(f"decode failed: {path}")
+    return out.astype(np.float32) / 5000.0

@@ -88,7 +88,11 @@ class SlamPipeline:
             gt = gt_poses[0] if (gt_poses is not None and self.manager.n_nodes == 0) else None
             self.process_frame(rgb_d, depth_d, float(stamps[i]), gt)
 
-    def run_tum(self, dataset: TumDataset, max_frames: Optional[int] = None) -> None:
+    def run_tum(self, dataset: TumDataset, max_frames: Optional[int] = None,
+                use_native: bool = True) -> None:
+        """Process a TUM dataset. Prefers the C++ threaded loader
+        (io/native_loader.py) — decode happens on native worker threads
+        while this thread dispatches TPU work."""
         import jax
 
         p = self.params
@@ -99,6 +103,26 @@ class SlamPipeline:
             idxs = idxs[:max_frames]
         if not idxs:
             return
+
+        if use_native and step == 1 and skip0 == 0:
+            try:
+                from .. import io as _io
+                from ..io.native_loader import NativeTumLoader, native_available
+
+                if native_available():
+                    loader = NativeTumLoader(
+                        dataset, width=self.cam.width, height=self.cam.height
+                    )
+                    count = 0
+                    for ts, rgb, depth in loader:
+                        self.process_frame(rgb, depth, ts)
+                        count += 1
+                        if max_frames and count >= max_frames:
+                            break
+                    loader.close()
+                    return
+            except Exception:
+                pass  # fall through to the Python loader
 
         def put(i):
             ts, rgb, depth = dataset.load(i)
