@@ -38,6 +38,11 @@ class OrbExtractor:
     grid: int = 4
     use_harris: bool = True
     require_depth: bool = True
+    # Fused Pallas detect kernel: exact match to the XLA path and ~3x faster
+    # in isolation, but the custom-call boundary breaks XLA's cross-level
+    # fusion inside the full extractor program (measured net slower end to
+    # end), so it is opt-in until the whole extractor moves into the kernel.
+    use_pallas: bool = False
 
     def level_shapes(self, H: int, W: int) -> Sequence[tuple]:
         out = []
@@ -60,14 +65,26 @@ class OrbExtractor:
         getMinDepthInNeighborhood semantics, misc.cpp:774-791).
         """
         H, W = gray.shape
+        # Fused Pallas detect (FAST+Harris+NMS in one VMEM pass; ~3x the
+        # fused-XLA speed) on TPU; the XLA path elsewhere / for SAD scoring.
+        pallas_ok = (
+            self.use_pallas and self.use_harris and jax.default_backend() == "tpu"
+        )
         all_uv, all_score, all_level = [], [], []
         img_l = gray
         for l, (h, w) in enumerate(self.level_shapes(H, W)):
             if l > 0:
                 img_l = resize_bilinear(gray, (h, w))
-            score_map = fast_ops.detect_corners(
-                img_l, threshold=self.fast_threshold, use_harris=self.use_harris
-            )
+            if pallas_ok:
+                from ..ops.pallas_detect import detect_corners_pallas
+
+                score_map = detect_corners_pallas(
+                    img_l, threshold=self.fast_threshold
+                )
+            else:
+                score_map = fast_ops.detect_corners(
+                    img_l, threshold=self.fast_threshold, use_harris=self.use_harris
+                )
             k_l = self.level_budget(l)
             uv, sc, _ = fast_ops.select_keypoints_grid(score_map, k_l, grid=self.grid)
             scale = self.scale_factor**l
