@@ -154,17 +154,32 @@ class GraphManager:
             width=cam.width // s,
             height=cam.height // s,
         )
-        self.extractor = extractor or OrbExtractor(
-            max_keypoints=self.k_cap,
-            fast_threshold=0.06,
-            grid=p["detector_grid_resolution"] + 1,
+        if extractor is not None:
+            self.extractor = extractor
+        elif p["feature_detector_type"].upper() in ("SIFT", "SIFTGPU"):
+            from ..models.sift import SiftExtractor
+
+            self.extractor = SiftExtractor(
+                max_keypoints=self.k_cap,
+                use_root_sift=p["squareroot_descriptor_space"],
+            )
+        else:
+            self.extractor = OrbExtractor(
+                max_keypoints=self.k_cap,
+                fast_threshold=0.06,
+                grid=p["detector_grid_resolution"] + 1,
+            )
+        desc_dim = 128 if "Sift" in type(self.extractor).__name__ else 256
+        desc_dtype = (
+            jnp.float32 if "Sift" in type(self.extractor).__name__ else jnp.int8
         )
         self.store = NodeStore.create(
             self.n_cap,
             self.k_cap,
-            256,
+            desc_dim,
             self.cam_small.height,
             self.cam_small.width,
+            desc_dtype=desc_dtype,
         )
         self.graph = make_graph_state(self.n_cap, self.e_cap)
         self.n_nodes = 0

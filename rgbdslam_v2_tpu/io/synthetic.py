@@ -119,14 +119,18 @@ class SyntheticWorld:
 
     # ---------------- trajectories ----------------
 
-    def orbit_trajectory(self, n_frames: int, seed: int = 1) -> jnp.ndarray:
+    def orbit_trajectory(self, n_frames: int, seed: int = 1,
+                         deg_per_frame: float = 2.0) -> jnp.ndarray:
         """Smooth fr1-like trajectory: ellipse orbit + bob + look-at jitter.
 
+        Angular velocity is fixed (default 2 deg/frame ≈ 60 deg/s at 30 Hz,
+        fr1-class motion) so difficulty does not depend on sequence length;
+        long sequences revisit viewpoints (loop closures).
         Returns (N, 4, 4) world_T_cam with +z forward (camera convention).
         """
         Lx, Ly, Lz = self.extent
         c = jnp.array([Lx / 2, Ly / 2, Lz / 2])
-        t = jnp.linspace(0.0, 2.0 * jnp.pi, n_frames)
+        t = jnp.arange(n_frames) * (deg_per_frame * jnp.pi / 180.0)
         rng = np.random.default_rng(seed)
         ph = float(rng.uniform(0, 2 * np.pi))
         rx, ry = 0.22 * Lx, 0.22 * Ly

@@ -41,7 +41,7 @@ def test_emm_rejects_wrong_transform():
     (misc.cpp:1136-1148)."""
     fa, fb, a_T_b = _two_frames()
     bad = a_T_b @ np.asarray(
-        se3.exp_se3(jnp.asarray([0.8, 0.0, -0.5, 0.0, 0.6, 0.0], jnp.float32))
+        se3.exp_se3(jnp.asarray([1.2, 0.0, -0.72, 0.0, 0.9, 0.0], jnp.float32))
     )
     res_good = observation_likelihood(a_T_b, fb.points, fb.valid, fa.depth, CAM)
     res_bad = observation_likelihood(jnp.asarray(bad), fb.points, fb.valid, fa.depth, CAM)
