@@ -269,6 +269,21 @@ class SlamPipeline:
         ]
         write_g2o(path, poses, fixed, edges)
 
+    def save_graph_viz(self, path):
+        """Graph nodes/edges as a colored PLY line set (RViz-marker
+        equivalent, graph_mgr_io.cpp:687-932)."""
+        from ..io.visualization import export_graph_ply
+
+        mgr = self.manager
+        mgr._drain_pending()
+        return export_graph_ply(
+            path,
+            mgr.poses(),
+            mgr.edge_pairs,
+            np.asarray(mgr.graph.edge_active),
+            mgr.edge_types,
+        )
+
     def save_features(self, path):
         """World-frame feature positions + descriptors (.npz;
         saveAllFeaturesToFile capability, graph_mgr_io.cpp:445-497)."""
