@@ -12,11 +12,12 @@ graph_mgr_io.cpp:253-310). Format (octomap 1.8 'OcTree file' container):
     data
     <binary pre-order node stream>
 
-Node stream (pre-order depth-first): each node serializes its payload then a
-2-byte little-endian child bitmask with 2 bits per child:
-00 = none, 01 = inner child follows, 10/11 variants are for binary trees —
-here: 01 marks an existing child (which is then recursively serialized).
-ColorOcTreeNode payload = float32 log-odds (little-endian) + 3 bytes RGB.
+Node stream (pre-order depth-first, octomap OcTreeBaseImpl::writeNodesRecurs):
+each node serializes its payload, then ONE byte whose bit i marks that child
+i exists (and is then recursively serialized). The child index follows
+octomap computeChildIdx: bit 0 from the x key bit, bit 1 from y, bit 2 from
+z at the node's depth. ColorOcTreeNode payload = float32 log-odds
+(little-endian) + 3 bytes RGB (ColorOcTreeNode::writeData).
 
 A matching reader is provided for round-trip tests and for loading .ot maps
 back into voxel lists.
@@ -56,9 +57,9 @@ def _build_tree(keys: np.ndarray, logodds: np.ndarray, colors: np.ndarray) -> _N
         for depth in range(TREE_DEPTH):
             bit = TREE_DEPTH - 1 - depth
             i = (
-                (((int(kx) >> bit) & 1) << 2)
+                ((int(kx) >> bit) & 1)
                 | (((int(ky) >> bit) & 1) << 1)
-                | ((int(kz) >> bit) & 1)
+                | (((int(kz) >> bit) & 1) << 2)
             )
             if node.children[i] is None:
                 node.children[i] = _Node()
@@ -91,8 +92,8 @@ def _write_node(out: bytearray, node: _Node) -> int:
     mask = 0
     for i, ch in enumerate(node.children):
         if ch is not None:
-            mask |= 1 << (i * 2)
-    out += struct.pack("<H", mask)
+            mask |= 1 << i
+    out += struct.pack("<B", mask)
     for ch in node.children:
         if ch is not None:
             count += _write_node(out, ch)
@@ -147,18 +148,18 @@ def read_color_octree(path):
         nonlocal pos
         value = struct.unpack_from("<f", raw, pos)[0]
         color = tuple(raw[pos + 4 : pos + 7])
-        mask = struct.unpack_from("<H", raw, pos + 7)[0]
-        pos += 9
+        mask = raw[pos + 7]
+        pos += 8
         has_children = False
         for i in range(8):
-            if (mask >> (i * 2)) & 1:
+            if (mask >> i) & 1:
                 has_children = True
                 bit = TREE_DEPTH - 1 - depth
                 parse(
                     depth + 1,
-                    kx | (((i >> 2) & 1) << bit),
+                    kx | ((i & 1) << bit),
                     ky | (((i >> 1) & 1) << bit),
-                    kz | (i & 1) << bit,
+                    kz | (((i >> 2) & 1) << bit),
                 )
         if not has_children:
             leaves.append((kx, ky, kz, value, color))

@@ -142,7 +142,7 @@ def _pcg(matvec, precond, b, iters: int, tol: float = 1e-6):
     b2 = jnp.sum(b * b) + 1e-30
 
     def body(carry, _):
-        x, r, p, rz = carry
+        x, r, p, rz, done = carry
         Ap = matvec(p)
         pAp = jnp.sum(p * Ap)
         alpha = jnp.where(pAp > 1e-30, rz / pAp, 0.0)
@@ -152,12 +152,14 @@ def _pcg(matvec, precond, b, iters: int, tol: float = 1e-6):
         rz2 = jnp.sum(r2 * z2)
         beta = jnp.where(rz > 1e-30, rz2 / rz, 0.0)
         p2 = z2 + beta * p
-        # freeze once converged (mask keeps shapes static)
-        done = jnp.sum(r2 * r2) <= tol * b2
-        x2 = jnp.where(done, x2, x2)
-        return (x2, r2, p2, rz2), None
+        done2 = done | (jnp.sum(r2 * r2) <= tol * b2)
+        # freeze the whole CG state once converged (static shapes; avoids
+        # numerical drift from near-zero rz in the remaining iterations)
+        keep = lambda new, old: jnp.where(done, old, new)  # noqa: E731
+        return (keep(x2, x), keep(r2, r), keep(p2, p), keep(rz2, rz), done2), None
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
+    done0 = jnp.asarray(False)
+    (x, _, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz, done0), None, length=iters)
     return x
 
 
@@ -252,7 +254,12 @@ def _optimize_jit(g, iterations, huber_delta, pcg_iters, chi2_rel_tol, solver):
             g, lam, huber_delta, pcg_iters, solver
         )
         rel = (chi2_before - chi2_after) / jnp.maximum(chi2_before, 1e-12)
-        done2 = done | (rel < chi2_rel_tol) & (chi2_after <= chi2_before)
+        # Converged only when an ACCEPTED step yields a small relative chi²
+        # decrease. A rejected step (chi2_after == chi2_before) must keep
+        # iterating so the raised lambda gets a retry — g2o's LM semantics
+        # (sparse_optimizer levenberg retries; graph_manager.cpp:998-1014).
+        improved = chi2_after < chi2_before
+        done2 = done | (improved & (rel < chi2_rel_tol))
         return (g2, lam2, chi2_after, it + 1, done2)
 
     def cond(carry):

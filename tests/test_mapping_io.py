@@ -67,6 +67,38 @@ def test_ot_header_format(tmp_path):
     assert "data" in head
 
 
+def test_ot_byte_exact_single_voxel(tmp_path):
+    """Golden-byte check against octomap's on-disk node encoding.
+
+    octomap (OcTreeBaseImpl::writeNodesRecurs) writes, pre-order per node:
+    ColorOcTreeNode payload (float32 LE log-odds + 3 bytes RGB) followed by
+    ONE byte whose bit i marks child i as present, with computeChildIdx
+    giving x->bit0, y->bit1, z->bit2. A voxel centered at (+r/2,+r/2,+r/2)
+    has key (32768,32768,32768) = 0x8000 per axis: child 7 at the root
+    (all three MSBs set), then child 0 for the remaining 15 levels.
+    """
+    import struct
+
+    res = 0.05
+    prob = 0.9
+    logodds = np.float32(np.log(prob / (1 - prob)))
+    color = bytes((10, 20, 30))
+    path = tmp_path / "one.ot"
+    write_color_octree(
+        path, np.array([[res / 2, res / 2, res / 2]]), [prob], [[10, 20, 30]], res
+    )
+    raw = path.read_bytes()
+    body = raw[raw.index(b"data\n") + 5 :]
+    payload = struct.pack("<f", logodds) + color
+    expected = payload + bytes([1 << 7])  # root: only child 7 exists
+    for _ in range(15):
+        expected += payload + bytes([1 << 0])  # inner chain: child 0
+    expected += payload + bytes([0])  # leaf: no children
+    assert body == expected
+    # header advertises all 17 nodes
+    assert b"size 17" in raw[: raw.index(b"data\n")]
+
+
 def test_pcd_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     pts = rng.uniform(-2, 2, (500, 3)).astype(np.float32)
