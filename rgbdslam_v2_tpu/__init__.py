@@ -8,8 +8,7 @@ is built TPU-first — batched, statically-shaped, functional, compiled.
 Layering (see SURVEY.md §7):
   core/      SE(3) geometry, pinhole camera, depth noise, rigid alignment
   ops/       Pallas/XLA compute kernels (FAST/ORB/SIFT, matching, EMM, ...)
-  models/    feature-extraction model families (ORB, SIFT) + the flagship
-             FrontendModel (extract+match+register as one jitted step)
+  models/    feature-extraction model families (OrbExtractor, SiftExtractor)
   graph/     pose-graph store, candidate selection, keyframes
   optim/     robust Gauss-Newton / LM pose-graph solver (PCG + dense Chol)
   mapping/   occupancy voxel mapping (octomap-equivalent) + exports

@@ -34,7 +34,17 @@ def _cam_from_args(args, params):
 
     named = {"fr1": TUM_FR1, "fr2": TUM_FR2, "default": TUM_DEFAULT}
     if args.camera in named:
-        return named[args.camera]
+        cam = named[args.camera]
+        # honor the static frame-shape params (tpu_image_*): scale the named
+        # intrinsics when a non-default resolution is configured
+        tw, th = params["tpu_image_width"], params["tpu_image_height"]
+        if (tw, th) != (cam.width, cam.height):
+            sx, sy = tw / cam.width, th / cam.height
+            cam = Intrinsics(
+                fx=cam.fx * sx, fy=cam.fy * sy,
+                cx=cam.cx * sx, cy=cam.cy * sy, width=tw, height=th,
+            )
+        return cam
     fx, fy, cx, cy, w, h = (float(x) for x in args.camera.split(","))
     return Intrinsics(fx=fx, fy=fy, cx=cx, cy=cy, width=int(w), height=int(h))
 
@@ -49,15 +59,16 @@ def cmd_run(args):
     params = _build_params(args.param)
     cam = _cam_from_args(args, params)
     pipe = SlamPipeline(cam, params)
-    ds = TumDataset.open(args.tum_dir)
-    pipe.run_tum(ds, max_frames=args.max_frames)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    pipe.online_octomap_path = str(out / "map_online.ot")
+    ds = TumDataset.open(args.tum_dir)
+    pipe.run_tum(ds, max_frames=args.max_frames)
     gt_stamps = gt_xyz = None
     if ds.groundtruth is not None:
         gt_stamps = ds.groundtruth[:, 0].tolist()
         gt_xyz = ds.groundtruth[:, 1:4]
-    if args.evaluate:
+    if args.evaluate or params["batch_processing"]:
         report = pipe.evaluation_protocol(out, gt_stamps=gt_stamps, gt_xyz=gt_xyz)
         print(json.dumps(report.as_dict(), indent=2))
     else:
@@ -67,6 +78,13 @@ def cmd_run(args):
         stamps, poses = pipe.manager.trajectory()
         write_trajectory(out / "estimate.txt", stamps, poses)
         print(json.dumps(pipe.manager.statistics(), indent=2))
+    if args.landmark_ba:
+        stats = pipe.manager.optimize_landmarks()
+        print(f"landmark BA: {json.dumps(stats)}")
+        from ..io.tum import write_trajectory
+
+        stamps, poses = pipe.manager.trajectory()
+        write_trajectory(out / "estimate_landmark_ba.txt", stamps, poses)
     if args.save_clouds:
         n = pipe.save_clouds(out / "cloud.pcd")
         print(f"saved cloud.pcd ({n} points)")
@@ -79,6 +97,9 @@ def cmd_run(args):
     if args.save_features:
         pipe.save_features(out / "features.npz")
         print("saved features.npz")
+    if args.save_individual:
+        files = pipe.save_individual_clouds(out / "clouds")
+        print(f"saved {len(files)} per-node clouds")
     return 0
 
 
@@ -139,6 +160,11 @@ def main(argv=None):
     runp.add_argument("--save-octomap", action="store_true")
     runp.add_argument("--save-g2o", action="store_true")
     runp.add_argument("--save-features", action="store_true")
+    runp.add_argument("--save-individual", action="store_true",
+                      help="one cloud file per node (saveIndividualClouds)")
+    runp.add_argument("--landmark-ba", action="store_true",
+                      help="refine with landmark bundle adjustment "
+                           "(DO_FEATURE_OPTIMIZATION capability)")
     runp.set_defaults(fn=cmd_run)
 
     synp = sub.add_parser("synthetic", help="generate a synthetic TUM dataset")
@@ -159,7 +185,14 @@ def main(argv=None):
     parp.set_defaults(fn=cmd_params)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, ValueError, KeyError) as exc:
+        print(f"rgbdslam: error: {exc}", file=sys.stderr)
+        return 2
+    except RuntimeError as exc:
+        print(f"rgbdslam: runtime error: {exc}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

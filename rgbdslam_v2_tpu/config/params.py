@@ -39,7 +39,9 @@ PARAM_DEFS = [
     _p("squareroot_descriptor_space", True, "RootSIFT: compare SIFT in sqrt(L1) space"),
     _p("max_matches", 300, "keep strongest N matches (static shape)"),
     _p("nn_distance_ratio", 0.95, "Lowe ratio test threshold (ORB default 0.95, SIFT 0.5-0.8)"),
-    _p("sufficient_matches", 1800, "skip additional candidate evaluation above this"),
+    # NOTE: the reference's `sufficient_matches` (parameter_server.cpp:88) is a
+    # lower bound for its ADAPTIVE detectors (SURF/FAST threshold adjusters);
+    # the fixed top-K keypoint budget (max_keypoints) subsumes it here.
     _p("min_matches", 20, "matches below this -> edge rejected"),
     _p("data_skip_step", 1, "process every n-th frame"),
     _p("skip_first_n_frames", 0, "drop initial frames"),
@@ -64,7 +66,6 @@ PARAM_DEFS = [
     _p("max_translation_meter", 1e10, "reject edge if translation above (sanity)"),
     _p("max_rotation_degree", 1e10, "reject edge if rotation above"),
     # ---- graph / backend ----
-    _p("connectivity", 6, "candidates: immediate predecessors"),
     _p("geodesic_depth", 3, "candidates: geodesic-neighborhood depth"),
     _p("predecessor_candidates", 4, "sequential candidates"),
     _p("neighbor_candidates", 4, "graph-neighbor candidates"),

@@ -50,6 +50,8 @@ class CompareResult(NamedTuple):
         "min_inliers",
         "emm_skip",
         "sigma_depth",
+        "sample_size",
+        "refine_iterations",
     ),
 )
 def compare_to_candidates(
@@ -68,6 +70,8 @@ def compare_to_candidates(
     min_inliers: int = 12,
     emm_skip: int = 1,
     sigma_depth: float = 0.01,
+    sample_size: int = 4,
+    refine_iterations: int = 6,
 ) -> CompareResult:
     B = cand_idx.shape[0]
     c_desc = store.desc[cand_idx]  # (B, K, D)
@@ -76,9 +80,11 @@ def compare_to_candidates(
     c_depth = store.depth[cand_idx]  # (B, h, w)
 
     # ---- matching: B batched exact knn2 + ratio + dedup --------------------
+    # The store may hold descriptors in a different dtype (tpu_descriptor_dtype)
+    new_desc = new_kp.desc.astype(store.desc.dtype)
     m = jax.vmap(
         lambda d, v: match_descriptors(
-            new_kp.desc, new_kp.valid, d, v, max_matches, ratio
+            new_desc, new_kp.valid, d, v, max_matches, ratio
         )
     )(c_desc, c_val)
     src = new_kp.xyz[m.src_idx]  # (B, M, 3)
@@ -96,7 +102,9 @@ def compare_to_candidates(
             cam_fx=cam_fx,
             cam_fy=cam_fy,
             n_hypotheses=n_hypotheses,
+            sample_size=sample_size,
             max_mahal_sq=max_mahal_sq,
+            refine_iterations=refine_iterations,
             min_inliers=min_inliers,
             sigma_depth=sigma_depth,
         )

@@ -55,6 +55,8 @@ class StepSummary(NamedTuple):
         "min_inliers",
         "emm_skip",
         "sigma_depth",
+        "sample_size",
+        "refine_iterations",
         "observability_threshold",
         "max_translation_per_s",
         "max_rotation_deg_per_s",
@@ -89,6 +91,8 @@ def slam_step(
     min_inliers: int = 20,
     emm_skip: int = 2,
     sigma_depth: float = 0.01,
+    sample_size: int = 4,
+    refine_iterations: int = 6,
     observability_threshold: float = 0.0,
     max_translation_per_s: float = 1e10,
     max_rotation_deg_per_s: float = 1e10,
@@ -116,6 +120,8 @@ def slam_step(
         min_inliers=min_inliers,
         emm_skip=emm_skip,
         sigma_depth=sigma_depth,
+        sample_size=sample_size,
+        refine_iterations=refine_iterations,
     )
 
     # ---- on-device accept/reject (nodeComparisons decision logic) ---------
@@ -160,13 +166,14 @@ def slam_step(
 
     # ---- commit (donated, in-place) ----------------------------------------
     sl = jnp.arange(B + 1) + edge_start
+    ch, cw = store.color.shape[1:3]
     store = store._replace(
         uv=store.uv.at[new_id].set(kp.uv),
         xyz=store.xyz.at[new_id].set(kp.xyz),
-        desc=store.desc.at[new_id].set(kp.desc),
+        desc=store.desc.at[new_id].set(kp.desc.astype(store.desc.dtype)),
         kp_valid=store.kp_valid.at[new_id].set(kp.valid),
         depth=store.depth.at[new_id].set(depth_small),
-        color=store.color.at[new_id].set(color_small),
+        color=store.color.at[new_id].set(color_small[:ch, :cw]),
     )
     new_pose = graph.poses[base_id] @ base_T_new
     graph = graph._replace(

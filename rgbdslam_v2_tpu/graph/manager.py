@@ -89,13 +89,14 @@ def _commit_node(
     Donation makes the (large) store/graph updates in-place — without it
     every insert copies hundreds of MB of HBM per frame.
     """
+    ch, cw = store.color.shape[1:3]
     store = store._replace(
         uv=store.uv.at[new_id].set(kp.uv),
         xyz=store.xyz.at[new_id].set(kp.xyz),
-        desc=store.desc.at[new_id].set(kp.desc),
+        desc=store.desc.at[new_id].set(kp.desc.astype(store.desc.dtype)),
         kp_valid=store.kp_valid.at[new_id].set(kp.valid),
         depth=store.depth.at[new_id].set(depth_small),
-        color=store.color.at[new_id].set(color_small),
+        color=store.color.at[new_id].set(color_small[:ch, :cw]),
     )
     new_pose = graph.poses[base_id] @ base_T_new
     B = e_i.shape[0]
@@ -116,6 +117,43 @@ def _commit_node(
         ),
     )
     return store, graph
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam_small", "iterations", "emm_skip", "sigma_depth"),
+)
+def _icp_rescue_kernel(
+    T0, new_depth_small, cand_depth, cam_small, iterations, emm_skip, sigma_depth
+):
+    """Dense ICP refinement + bidirectional EMM gate, ONE dispatch.
+
+    The reference's GICP/ICP fallback validates its result with the same
+    observation likelihood as visual edges (node.cpp:1381-1413)."""
+    from ..core.camera import backproject_grid
+    from ..ops.emm import observation_likelihood
+    from ..ops.icp import icp_point_to_plane
+
+    new_pts = backproject_grid(new_depth_small, cam_small)
+    cand_pts = backproject_grid(cand_depth, cam_small)
+    nv = new_depth_small > 0
+    cv = cand_depth > 0
+    res = icp_point_to_plane(
+        T0, new_pts, nv, cand_pts, cv, iterations=iterations
+    )
+    a = observation_likelihood(
+        res.transform, new_pts, nv, cand_depth, cam_small, emm_skip, sigma_depth
+    )
+    b = observation_likelihood(
+        se3.inv(res.transform), cand_pts, cv, new_depth_small, cam_small,
+        emm_skip, sigma_depth,
+    )
+    n_in = a.inliers + b.inliers
+    n_out = a.outliers + b.outliers
+    n_all = a.all_projected + b.all_projected
+    q = n_in.astype(jnp.float32) / jnp.maximum(n_in + n_out, 1)
+    frac = n_in.astype(jnp.float32) / jnp.maximum(n_all, 1)
+    return res.transform, res.rmse, res.n_pairs, res.converged, q, frac
 
 
 @dataclasses.dataclass
@@ -154,9 +192,17 @@ class GraphManager:
             width=cam.width // s,
             height=cam.height // s,
         )
+        # detector/extractor families are fused on TPU (one kernel computes
+        # keypoints AND descriptors); mixing families like the reference's
+        # detector!=extractor combos is not supported — SIFT wins if either
+        # side requests it (parameter_server.cpp checkValues analog).
+        family = (
+            p["feature_detector_type"].upper(),
+            p["feature_extractor_type"].upper(),
+        )
         if extractor is not None:
             self.extractor = extractor
-        elif p["feature_detector_type"].upper() in ("SIFT", "SIFTGPU"):
+        elif any(f in ("SIFT", "SIFTGPU") for f in family):
             from ..models.sift import SiftExtractor
 
             self.extractor = SiftExtractor(
@@ -170,9 +216,16 @@ class GraphManager:
                 grid=p["detector_grid_resolution"] + 1,
             )
         desc_dim = 128 if "Sift" in type(self.extractor).__name__ else 256
-        desc_dtype = (
-            jnp.float32 if "Sift" in type(self.extractor).__name__ else jnp.int8
-        )
+        if "Sift" in type(self.extractor).__name__:
+            desc_dtype = jnp.float32
+        else:
+            # tpu_descriptor_dtype: int8 ±1 rides the MXU Hamming path;
+            # bf16/float32 use the (monotone-equivalent for ±1) L2 path.
+            desc_dtype = {
+                "int8": jnp.int8,
+                "bf16": jnp.bfloat16,
+                "float32": jnp.float32,
+            }[p["tpu_descriptor_dtype"]]
         self.store = NodeStore.create(
             self.n_cap,
             self.k_cap,
@@ -180,6 +233,7 @@ class GraphManager:
             self.cam_small.height,
             self.cam_small.width,
             desc_dtype=desc_dtype,
+            store_color=p["store_pointclouds"],
         )
         self.graph = make_graph_state(self.n_cap, self.e_cap)
         self.n_nodes = 0
@@ -197,6 +251,17 @@ class GraphManager:
         self.nodes_since_optimize = 0
         self.mapping_enabled = True  # toggleMapping capability (localization-only)
         self.odometry = None  # OdometryProvider (use_robot_odom)
+        # localizationUpdate outputs (graph_manager.cpp:660-679)
+        self.localization_pose: Optional[np.ndarray] = None
+        self.localization_trajectory: List[tuple] = []
+        # pose_relative_to=inaffected: nodes optimized so far (watermark)
+        self._nodes_opt_watermark = 0
+        # host mirror of edge_active (sync-free fixation/pruning decisions)
+        self.edge_active_host = np.zeros(self.e_cap, bool)
+        # first-node replacement check (graph_manager.cpp:762-769)
+        self._kp_count0 = -1
+        self._first_pose = np.eye(4, dtype=np.float32)
+        self._clear_queue: List[int] = []  # clear_non_keyframes batching
         self._jit_extract = jax.jit(
             lambda g, d: self.extractor(g, d, self.cam)
         )
@@ -314,6 +379,7 @@ class GraphManager:
             edge_active=self.graph.edge_active.at[e].set(True),
         )
         self.n_edges += 1
+        self.edge_active_host[e] = True
         self.adjacency.setdefault(i, set()).add(j)
         self.adjacency.setdefault(j, set()).add(i)
         self.edge_types.append(etype)
@@ -363,6 +429,7 @@ class GraphManager:
             jnp.asarray(act),
         )
         for (i, j, _m, _inf, etype) in edges:
+            self.edge_active_host[self.n_edges] = True
             self.n_edges += 1
             self.adjacency.setdefault(i, set()).add(j)
             self.adjacency.setdefault(j, set()).add(i)
@@ -424,9 +491,12 @@ class GraphManager:
                 node_fixed=self.graph.node_fixed.at[0].set(True)
             )
             self.n_nodes = 1
+            self._nodes_opt_watermark = 1
             self.timestamps.append(timestamp)
             self.keyframes = [0]
             self.last_decisions = []
+            self._first_pose = pose  # kept for first-node replacement
+            self._kp_count0 = int(jax.device_get(kp.count()))
             return True
 
         new_id = self.n_nodes
@@ -486,6 +556,9 @@ class GraphManager:
             min_inliers=p["min_matches"],
             emm_skip=p["emm_skip_step"],
             sigma_depth=p["sigma_depth"],
+            sample_size=p["sample_candidates"],
+            refine_iterations=p["refine_iterations"]
+            + p["g2o_transformation_refinement"],
         )
         # Pull scalars to host in ONE transfer.
         host = jax.device_get(res)
@@ -533,6 +606,22 @@ class GraphManager:
             decisions.append(d)
         self.last_decisions = decisions
 
+        # ---- localization-only mode (localizationUpdate semantics,
+        # graph_manager.cpp:660-679): estimate the current pose from the best
+        # accepted match WITHOUT growing the graph or the store. ------------
+        if not self.mapping_enabled:
+            if accepted:
+                best_b = max(accepted, key=lambda b: n_inl[b])
+                cid = padded[best_b]
+                world_T_cand = np.asarray(
+                    jax.device_get(self.graph.poses[cid]), np.float32
+                )
+                pose = world_T_cand @ np.asarray(T_all[best_b], np.float32)
+                self.localization_pose = pose
+                self.localization_trajectory.append((timestamp, pose))
+                return True
+            return False
+
         # Redundancy filter: motion to predecessor too small -> drop frame
         # (isSmallTrafo semantics; keep if it's been long since last node).
         pred_pos = next(
@@ -545,9 +634,30 @@ class GraphManager:
         ):
             return False
 
+        # ---- ICP fallback rescue (use_icp; node.cpp:1381-1413): when the
+        # predecessor edge failed visually, refine identity/RANSAC seed by
+        # dense point-to-plane ICP against the stored depth grid, EMM-gated.
+        icp_edge = None
+        if p["use_icp"] and not any(padded[b] == pred_id for b in accepted):
+            b_pred = padded.index(pred_id) if pred_id in padded else 0
+            seed = (
+                np.asarray(T_all[b_pred], np.float32)
+                if bool(ok[b_pred])
+                else np.eye(4, dtype=np.float32)
+            )
+            icp_edge = self._icp_rescue(depth_small, pred_id, seed)
+            if icp_edge is not None:
+                decisions.append(
+                    MatchDecision(
+                        cand_id=pred_id, accepted=True, reason="icp",
+                        n_inliers=int(icp_edge[2]), rmse=float(icp_edge[3]),
+                    )
+                )
+
         eye4 = np.eye(4, dtype=np.float32)
         edges = []  # (i, j, meas, info6x6, etype)
-        if accepted and self.mapping_enabled:
+        base_id, base_T_new = pred_id, eye4
+        if accepted:
             # Initial pose from the best (most inliers) accepted edge.
             best_b = max(accepted, key=lambda b: n_inl[b])
             base_id = padded[best_b]
@@ -565,19 +675,37 @@ class GraphManager:
                     (cid, new_id, np.asarray(T_all[b], np.float32),
                      np.eye(6, dtype=np.float32) * info_scale, etype)
                 )
-        elif p["keep_all_nodes"] or (
-            p["keep_good_nodes"] and int(kp.count()) > p["min_keypoints"]
-        ):
-            # Fallback constant-position edge (graph_manager.cpp:636-655).
-            base_id = pred_id
-            base_T_new = eye4
-            info_scale = p["constant_position_information"] / dt_pred
-            edges.append(
-                (pred_id, new_id, eye4,
-                 np.eye(6, dtype=np.float32) * info_scale, EDGE_CONST_POSITION)
-            )
-        else:
-            return False
+        if icp_edge is not None:
+            T_icp, info_icp, _n, _r = icp_edge
+            edges.append((pred_id, new_id, T_icp, info_icp, EDGE_SEQUENTIAL))
+            if not accepted:
+                base_id, base_T_new = pred_id, T_icp
+        if not edges:
+            if p["keep_all_nodes"] or (
+                p["keep_good_nodes"]
+                and int(jax.device_get(kp.count())) > p["min_keypoints"]
+            ):
+                # Fallback constant-position edge (graph_manager.cpp:636-655).
+                info_scale = p["constant_position_information"] / dt_pred
+                edges.append(
+                    (pred_id, new_id, eye4,
+                     np.eye(6, dtype=np.float32) * info_scale,
+                     EDGE_CONST_POSITION)
+                )
+            else:
+                # First-node replacement (graph_manager.cpp:762-769): if the
+                # graph still only holds the first node and this unmatched
+                # frame has more features, it becomes the new first node.
+                if new_id == 1:
+                    n_new = int(jax.device_get(kp.count()))
+                    if n_new > self._kp_count0:
+                        self._commit(
+                            kp, depth_small, color_small, new_id=0, base_id=0,
+                            base_T_new=self._first_pose, edges=[],
+                        )
+                        self.timestamps[0] = timestamp
+                        self._kp_count0 = n_new
+                return False
 
         # Robot odometry edge alongside visual edges (graph_mgr_odom.cpp:62).
         if p["use_robot_odom"] and self.odometry is not None:
@@ -597,6 +725,7 @@ class GraphManager:
         if not any(padded[b] in self.keyframes for b in accepted):
             if self.keyframes[-1] != pred_id:
                 self.keyframes.append(pred_id)
+        self._maybe_clear_non_keyframes(new_id)
 
         self.nodes_since_optimize += 1
         if self.nodes_since_optimize >= p["optimizer_skip_step"]:
@@ -657,6 +786,9 @@ class GraphManager:
             min_inliers=p["min_matches"],
             emm_skip=p["emm_skip_step"],
             sigma_depth=p["sigma_depth"],
+            sample_size=p["sample_candidates"],
+            refine_iterations=p["refine_iterations"]
+            + p["g2o_transformation_refinement"],
             observability_threshold=p["observability_threshold"],
             max_translation_per_s=p["max_translation_meter"],
             max_rotation_deg_per_s=p["max_rotation_degree"],
@@ -704,6 +836,7 @@ class GraphManager:
                     )
                     self.edge_pairs[slot] = (cid, new_id)
                     self.edge_types[slot] = etype
+                    self.edge_active_host[slot] = True
                     self.adjacency.setdefault(cid, set()).add(new_id)
                     self.adjacency.setdefault(new_id, set()).add(cid)
                     accepted_ids.append(cid)
@@ -727,6 +860,7 @@ class GraphManager:
             self.edge_pairs[fb_slot] = (pred_id, new_id)
             if bool(s.fallback_used):
                 self.edge_types[fb_slot] = EDGE_CONST_POSITION
+                self.edge_active_host[fb_slot] = True
                 self.adjacency.setdefault(pred_id, set()).add(new_id)
                 self.adjacency.setdefault(new_id, set()).add(pred_id)
             self.last_decisions = decisions
@@ -734,6 +868,7 @@ class GraphManager:
             if not any(c in self.keyframes for c in accepted_ids):
                 if self.keyframes[-1] != pred_id:
                     self.keyframes.append(pred_id)
+            self._maybe_clear_non_keyframes(new_id)
 
     # ------------------------------------------------------------------
     def _geodesic_set(self, start: int, depth: int) -> Set[int]:
@@ -750,28 +885,107 @@ class GraphManager:
         return seen
 
     # ------------------------------------------------------------------
-    def _apply_fixation(self):
-        """pose_relative_to strategies (graph_manager.cpp:911-937)."""
+    def _fixation_mask(self) -> np.ndarray:
+        """pose_relative_to strategies (graph_manager.cpp:911-937), computed
+        entirely host-side: a device sync here would serialize every online
+        optimize dispatch (the host metadata fully determines the mask)."""
         strategy = self.params["pose_relative_to"]
-        fixed = jnp.zeros(self.n_cap, bool)
+        mask = np.zeros(self.n_cap, bool)
         if strategy == "previous" and self.n_nodes > 1:
-            fixed = fixed.at[self.n_nodes - 2].set(True)
+            mask[self.n_nodes - 2] = True
         elif strategy == "largest_loop" and self.n_loop_edges > 0:
             # fix everything before the earliest node touched by a loop edge
             loop_nodes = [
-                min(i, j)
-                for (i, j), t in zip(self.edge_pairs, self.edge_types)
-                if t == EDGE_LOOP
+                min(pair)
+                for pair, t in zip(self.edge_pairs, self.edge_types)
+                if t == EDGE_LOOP and pair is not None
             ]
             cutoff = min(loop_nodes) if loop_nodes else 0
-            mask = np.zeros(self.n_cap, bool)
             mask[: cutoff + 1] = True
-            fixed = jnp.asarray(mask)
-        else:  # "first" (default) and "inaffected" fallback
-            fixed = fixed.at[0].set(True)
-        if not bool(jnp.any(fixed & self.graph.node_active)):
-            fixed = fixed.at[0].set(True)
-        self.graph = self.graph._replace(node_fixed=fixed)
+        elif strategy == "inaffected" and 1 < self._nodes_opt_watermark:
+            # fix everything already optimized; only nodes added since the
+            # last optimize move (graph_manager.cpp:889-892, 969-992)
+            mask[: min(self._nodes_opt_watermark, self.n_nodes)] = True
+        else:  # "first" (default)
+            mask[0] = True
+        if not mask[: max(self.n_nodes, 1)].any():
+            mask[0] = True
+        if not self.mapping_enabled:
+            mask[: self.n_nodes] = True
+        return mask
+
+    def _apply_fixation(self):
+        self.graph = self.graph._replace(
+            node_fixed=jnp.asarray(self._fixation_mask())
+        )
+
+    def _optimize_inaffected(self, iterations: int, blocking: bool,
+                             pcg_iters: int) -> float:
+        """Subgraph-only optimization (pose_relative_to=inaffected).
+
+        Gathers the nodes added since the last optimize plus their border
+        (older endpoints of their edges, held fixed) into a compact
+        GraphState, optimizes it, and scatters the updated poses back —
+        O(affected), not O(capacity), per online optimize
+        (graph_manager.cpp:889-892, :969-992, :1031-1035).
+        """
+        w = self._nodes_opt_watermark
+        free = set(range(w, self.n_nodes))
+        sub_eids = [
+            e
+            for e in range(self.n_edges)
+            if self.edge_active_host[e]
+            and self.edge_pairs[e] is not None
+            and (self.edge_pairs[e][0] in free or self.edge_pairs[e][1] in free)
+        ]
+        if not sub_eids:
+            return 0.0
+        nodes = sorted({n for e in sub_eids for n in self.edge_pairs[e]})
+        local = {nid: k for k, nid in enumerate(nodes)}
+        # pad to pow-2 buckets so recompiles stay rare
+        ncap = max(32, 1 << (len(nodes) - 1).bit_length())
+        ecap = max(64, 1 << (len(sub_eids) - 1).bit_length())
+        node_pad = nodes + [nodes[0]] * (ncap - len(nodes))
+        eid_pad = sub_eids + [sub_eids[0]] * (ecap - len(sub_eids))
+        n_fix = [nid not in free for nid in nodes]
+        if not any(n_fix):  # nothing anchors the subgraph: fix its oldest
+            n_fix[0] = True
+        gi = jnp.asarray(node_pad, jnp.int32)
+        ge = jnp.asarray(eid_pad, jnp.int32)
+        sub = GraphState(
+            poses=self.graph.poses[gi],
+            node_active=jnp.asarray(
+                [True] * len(nodes) + [False] * (ncap - len(nodes))
+            ),
+            node_fixed=jnp.asarray(n_fix + [True] * (ncap - len(nodes))),
+            edge_i=jnp.asarray(
+                [local[self.edge_pairs[e][0]] for e in eid_pad], jnp.int32
+            ),
+            edge_j=jnp.asarray(
+                [local[self.edge_pairs[e][1]] for e in eid_pad], jnp.int32
+            ),
+            edge_meas=self.graph.edge_meas[ge],
+            edge_info=self.graph.edge_info[ge],
+            edge_active=jnp.asarray(
+                [True] * len(sub_eids) + [False] * (ecap - len(sub_eids))
+            ),
+        )
+        sub, chi2, _ = optimize(
+            sub,
+            iterations=iterations,
+            huber_delta=self.params["huber_delta"],
+            pcg_iters=pcg_iters,
+            solver="dense" if ncap <= 1024 else "pcg",
+        )
+        free_local = [local[nid] for nid in nodes if nid in free]
+        free_ids = [nid for nid in nodes if nid in free]
+        if free_ids:
+            self.graph = self.graph._replace(
+                poses=self.graph.poses.at[jnp.asarray(free_ids)].set(
+                    sub.poses[jnp.asarray(free_local)]
+                )
+            )
+        return float(chi2) if blocking else float("nan")
 
     def optimize(self, iterations: Optional[int] = None, blocking: bool = True,
                  pcg_iters: Optional[int] = None) -> float:
@@ -783,19 +997,32 @@ class GraphManager:
         """
         self._drain_pending()
         p = self.params
-        solver = {"cholesky": "dense", "dense": "dense", "pcg": "pcg"}.get(
-            p["backend_solver"], "auto"
-        )
-        self._apply_fixation()
-        self.graph, chi2, _ = optimize(
-            self.graph,
-            iterations=iterations or p["optimizer_iterations"],
-            huber_delta=p["huber_delta"],
-            pcg_iters=pcg_iters if pcg_iters is not None else 64,
-            solver=solver,
-        )
-        self.nodes_since_optimize = 0
-        return float(chi2) if blocking else float("nan")
+        try:
+            if (
+                p["pose_relative_to"] == "inaffected"
+                and self.mapping_enabled
+                and 1 < self._nodes_opt_watermark < self.n_nodes
+            ):
+                return self._optimize_inaffected(
+                    iterations or p["optimizer_iterations"],
+                    blocking,
+                    pcg_iters if pcg_iters is not None else 24,
+                )
+            solver = {"cholesky": "dense", "dense": "dense", "pcg": "pcg"}.get(
+                p["backend_solver"], "auto"
+            )
+            self._apply_fixation()
+            self.graph, chi2, _ = optimize(
+                self.graph,
+                iterations=iterations or p["optimizer_iterations"],
+                huber_delta=p["huber_delta"],
+                pcg_iters=pcg_iters if pcg_iters is not None else 64,
+                solver=solver,
+            )
+            return float(chi2) if blocking else float("nan")
+        finally:
+            self.nodes_since_optimize = 0
+            self._nodes_opt_watermark = self.n_nodes
 
     # ------------------------------------------------------------------
     def prune_edges_above(self, threshold: float) -> int:
@@ -806,16 +1033,15 @@ class GraphManager:
         """
         self._drain_pending()
         chi2 = np.asarray(edge_chi2(self.graph))
-        active = np.asarray(self.graph.edge_active)
+        active = self.edge_active_host
         n_pruned = 0
-        new_active = active.copy()
         for e in range(self.n_edges):
             if not active[e] or chi2[e] <= threshold:
                 continue
             i, j = self.edge_pairs[e]
             if abs(i - j) == 1 and self.edge_types[e] != EDGE_CONST_POSITION:
                 # keep graph connected: replace with weak identity edge
-                new_active[e] = False
+                active[e] = False
                 self._add_edge(
                     min(i, j),
                     max(i, j),
@@ -824,9 +1050,9 @@ class GraphManager:
                     EDGE_CONST_POSITION,
                 )
             else:
-                new_active[e] = False
+                active[e] = False
             n_pruned += 1
-        self.graph = self.graph._replace(edge_active=jnp.asarray(new_active))
+        self.graph = self.graph._replace(edge_active=jnp.asarray(active))
         return n_pruned
 
     # ------------------------------------------------------------------
@@ -852,7 +1078,7 @@ class GraphManager:
         return {
             "nodes": self.n_nodes,
             "edges": self.n_edges,
-            "active_edges": int(np.asarray(self.graph.edge_active).sum()),
+            "active_edges": int(self.edge_active_host.sum()),
             "loop_edges": self.n_loop_edges,
             "sequential_edges": self.n_seq_edges,
             "keyframes": len(self.keyframes),
@@ -866,8 +1092,11 @@ class GraphManager:
         if self.n_nodes <= 1:
             return
         nid = self.n_nodes - 1
-        active = np.array(self.graph.edge_active)
-        for e, (i, j) in enumerate(self.edge_pairs):
+        active = self.edge_active_host
+        for e, pair in enumerate(self.edge_pairs):
+            if pair is None:
+                continue
+            i, j = pair
             if i == nid or j == nid:
                 active[e] = False
                 self.adjacency.get(i, set()).discard(j)
@@ -887,6 +1116,51 @@ class GraphManager:
         feature slots of non-keyframes (clear_non_keyframes param)."""
         self.store = self.store.clear_features(node_id)
 
+    def _maybe_clear_non_keyframes(self, new_id: int):
+        """clear_non_keyframes auto-free (graph_manager.cpp:788-802): once a
+        node leaves the predecessor-candidate window without becoming a
+        keyframe, its feature slots are released (loop-closure candidates are
+        sampled from keyframes, so the features can no longer be used).
+        Batched: one device dispatch per 16 cleared nodes."""
+        if not self.params["clear_non_keyframes"]:
+            return
+        old = new_id - self.params["predecessor_candidates"] - 1
+        if old > 0 and old not in self.keyframes:
+            self._clear_queue.append(old)
+        if len(self._clear_queue) >= 16:
+            self.store = self.store.clear_features(
+                np.asarray(self._clear_queue, np.int32)
+            )
+            self._clear_queue = []
+
+    def _icp_rescue(self, depth_small, cand_id: int, seed_T: np.ndarray):
+        """use_icp fallback: returns (T, info6x6, n_pairs, rmse) or None."""
+        p = self.params
+        out = _icp_rescue_kernel(
+            jnp.asarray(seed_T, jnp.float32),
+            depth_small,
+            self.store.depth[cand_id],
+            self.cam_small,
+            int(p["icp_max_iterations"]),
+            p["emm_skip_step"],
+            p["sigma_depth"],
+        )
+        T, rmse, n_pairs, conv, q, frac = [np.asarray(x) for x in jax.device_get(out)]
+        if not bool(conv):
+            return None
+        emm_thresh = p["observability_threshold"]
+        if emm_thresh > 0 and not (float(q) > emm_thresh and float(frac) > 0.25):
+            return None
+        # information from the point-to-plane fit quality, capped: dense ICP
+        # constrains translation well but is weaker than a feature edge
+        info_scale = min(float(n_pairs) / (float(rmse) ** 2 + 4e-4), 1e6)
+        return (
+            np.asarray(T, np.float32),
+            np.eye(6, dtype=np.float32) * info_scale,
+            int(n_pairs),
+            float(rmse),
+        )
+
     def sanity_check(self) -> List[str]:
         """sanityCheck capability (graph_manager.cpp:1347)."""
         self._drain_pending()
@@ -905,6 +1179,157 @@ class GraphManager:
                 if i >= self.n_nodes or j >= self.n_nodes:
                     problems.append(f"edge {e} references inactive node")
         return problems
+
+    def optimize_landmarks(
+        self,
+        iterations: int = 8,
+        min_obs: int = 2,
+        max_landmarks: int = 8192,
+        max_obs: int = 32768,
+        merge_dist: float = 0.10,
+    ) -> dict:
+        """Landmark bundle adjustment (the reference's DO_FEATURE_OPTIMIZATION
+        mode: features as g2o VertexPointXYZ with EdgeSE3PointXYZDepth
+        observations; src/landmark.cpp, graph_manager.cpp:137-143,188-200).
+
+        Feature tracks are built by re-matching descriptors along the active
+        visual edges (one batched MXU dispatch over all edge pairs), merged
+        into landmarks by union-find over (node, keypoint) observations with
+        a world-distance consistency gate, then poses+landmarks are refined
+        by alternating batched GN (optim/landmark_ba.py). Updated poses are
+        written back to the pose graph.
+        """
+        self._drain_pending()
+        from ..optim.landmark_ba import (
+            LandmarkGraph,
+            chi2 as lm_chi2,
+            optimize_landmarks as _opt_lm,
+        )
+        from ..ops.matching import match_descriptors
+
+        pairs = [
+            self.edge_pairs[e]
+            for e in range(self.n_edges)
+            if self.edge_active_host[e]
+            and self.edge_types[e] in (EDGE_SEQUENTIAL, EDGE_LOOP)
+        ]
+        if not pairs:
+            return {"landmarks": 0, "observations": 0}
+        ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
+        jj = jnp.asarray([j for _, j in pairs], jnp.int32)
+        m_cap = 128  # observations per edge pair fed to track building
+
+        @jax.jit
+        def rematch(store, ii, jj):
+            return jax.vmap(
+                lambda di, vi, dj, vj: match_descriptors(
+                    di, vi, dj, vj, m_cap, self.params["nn_distance_ratio"]
+                )
+            )(
+                store.desc[ii],
+                store.kp_valid[ii],
+                store.desc[jj],
+                store.kp_valid[jj],
+            )
+
+        m = jax.device_get(rematch(self.store, ii, jj))
+        n = self.n_nodes
+        uv = np.asarray(self.store.uv[:n])
+        xyz = np.asarray(self.store.xyz[:n])
+        poses = self.poses()
+
+        # union-find over (node, kp) observation keys
+        parent: Dict[tuple, tuple] = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        for p_idx, (i, j) in enumerate(pairs):
+            si = m.src_idx[p_idx]
+            dj = m.dst_idx[p_idx]
+            ok = m.valid[p_idx]
+            # world-consistency gate under the current pose estimates
+            wi = (poses[i, :3, :3] @ xyz[i, si].T).T + poses[i, :3, 3]
+            wj = (poses[j, :3, :3] @ xyz[j, dj].T).T + poses[j, :3, 3]
+            good = ok & (np.linalg.norm(wi - wj, axis=-1) < merge_dist)
+            for a, b in zip(si[good], dj[good]):
+                union((i, int(a)), (j, int(b)))
+
+        tracks: Dict[tuple, list] = {}
+        for key in list(parent.keys()) + [k for k in parent.values()]:
+            tracks.setdefault(find(key), []).append(key)
+        tracks = {
+            r: sorted(set(obs))
+            for r, obs in tracks.items()
+            if len({nid for nid, _ in obs}) >= min_obs
+        }
+        track_list = sorted(tracks.values(), key=len, reverse=True)[:max_landmarks]
+        if not track_list:
+            return {"landmarks": 0, "observations": 0}
+
+        obs_lm, obs_pose, obs_uvz, lm_init = [], [], [], []
+        for obs in track_list:
+            per_node = {}
+            for nid, k in obs:
+                per_node.setdefault(nid, k)  # one observation per node
+            if len(obs_lm) + len(per_node) > max_obs:
+                break
+            lid = len(lm_init)
+            pts = []
+            for nid, k in per_node.items():
+                obs_lm.append(lid)
+                obs_pose.append(nid)
+                obs_uvz.append([uv[nid, k, 0], uv[nid, k, 1], xyz[nid, k, 2]])
+                pts.append(poses[nid, :3, :3] @ xyz[nid, k] + poses[nid, :3, 3])
+            lm_init.append(np.mean(pts, axis=0))
+        if not lm_init:
+            return {"landmarks": 0, "observations": 0}
+        L = len(lm_init)
+        O = len(obs_lm)
+        ncap = max(32, 1 << (n - 1).bit_length())
+        lcap = max(64, 1 << (L - 1).bit_length())
+        ocap = max(128, 1 << (O - 1).bit_length())
+        g = LandmarkGraph(
+            poses=jnp.asarray(
+                np.concatenate(
+                    [poses, np.broadcast_to(np.eye(4, dtype=np.float32), (ncap - n, 4, 4))]
+                )
+            ),
+            pose_fixed=jnp.asarray([True] + [False] * (n - 1) + [True] * (ncap - n)),
+            landmarks=jnp.asarray(
+                np.concatenate([np.asarray(lm_init, np.float32), np.zeros((lcap - L, 3), np.float32)])
+            ),
+            lm_active=jnp.asarray([True] * L + [False] * (lcap - L)),
+            obs_lm=jnp.asarray(obs_lm + [0] * (ocap - O), jnp.int32),
+            obs_pose=jnp.asarray(obs_pose + [0] * (ocap - O), jnp.int32),
+            obs_uvz=jnp.asarray(
+                np.concatenate([np.asarray(obs_uvz, np.float32), np.zeros((ocap - O, 3), np.float32)])
+            ),
+            obs_active=jnp.asarray([True] * O + [False] * (ocap - O)),
+        )
+        before = float(lm_chi2(g, self.cam, self.params["sigma_depth"]))
+        g = _opt_lm(g, self.cam, iterations=iterations,
+                    sigma_depth=self.params["sigma_depth"])
+        after = float(lm_chi2(g, self.cam, self.params["sigma_depth"]))
+        self.graph = self.graph._replace(
+            poses=self.graph.poses.at[:n].set(g.poses[:n])
+        )
+        return {
+            "landmarks": L,
+            "observations": O,
+            "chi2_before": before,
+            "chi2_after": after,
+        }
 
     def set_empirical_covariances(self, bandwidth: float = 0.1):
         """setEmpiricalCovariances capability (graph_manager2.cpp:111-144):
@@ -952,6 +1377,9 @@ class GraphManager:
             edge_types=list(self.edge_types),
             edge_pairs=[list(p) for p in self.edge_pairs],
             adjacency={str(k): sorted(v) for k, v in self.adjacency.items()},
+            edge_active_host=[int(x) for x in self.edge_active_host[: self.n_edges]],
+            nodes_opt_watermark=self._nodes_opt_watermark,
+            kp_count0=self._kp_count0,
         )
         import json
 
@@ -978,3 +1406,12 @@ class GraphManager:
         self.edge_types = list(meta["edge_types"])
         self.edge_pairs = [tuple(p) for p in meta["edge_pairs"]]
         self.adjacency = {int(k): set(v) for k, v in meta["adjacency"].items()}
+        self.edge_active_host = np.zeros(self.e_cap, bool)
+        if "edge_active_host" in meta:
+            self.edge_active_host[: self.n_edges] = np.asarray(
+                meta["edge_active_host"], bool
+            )
+        else:  # legacy checkpoint: recover from the device array
+            self.edge_active_host[:] = np.asarray(self.graph.edge_active)
+        self._nodes_opt_watermark = meta.get("nodes_opt_watermark", self.n_nodes)
+        self._kp_count0 = meta.get("kp_count0", -1)

@@ -42,30 +42,43 @@ class NodeStore(NamedTuple):
         emm_h: int,
         emm_w: int,
         desc_dtype=jnp.int8,
+        store_color: bool = True,
     ) -> "NodeStore":
+        """store_color=False (param store_pointclouds) shrinks the color
+        plane to 1x1 — depth is always kept (EMM needs it), but the HBM for
+        export colors (~h*w*3 bytes/node) is not allocated."""
+        ch, cw = (emm_h, emm_w) if store_color else (1, 1)
         return cls(
             uv=jnp.zeros((n_cap, k_cap, 2), jnp.float32),
             xyz=jnp.zeros((n_cap, k_cap, 3), jnp.float32),
             desc=jnp.zeros((n_cap, k_cap, desc_dim), desc_dtype),
             kp_valid=jnp.zeros((n_cap, k_cap), bool),
             depth=jnp.zeros((n_cap, emm_h, emm_w), jnp.float32),
-            color=jnp.zeros((n_cap, emm_h, emm_w, 3), jnp.uint8),
+            color=jnp.zeros((n_cap, ch, cw, 3), jnp.uint8),
         )
+
+    @property
+    def has_color(self) -> bool:
+        return self.color.shape[1] > 1
 
     @property
     def capacity(self) -> int:
         return self.uv.shape[0]
 
     def insert(self, idx: int, kp: Keypoints, depth_small, color_small) -> "NodeStore":
+        ch, cw = self.color.shape[1:3]
         return self._replace(
             uv=self.uv.at[idx].set(kp.uv),
             xyz=self.xyz.at[idx].set(kp.xyz),
-            desc=self.desc.at[idx].set(kp.desc),
+            desc=self.desc.at[idx].set(kp.desc.astype(self.desc.dtype)),
             kp_valid=self.kp_valid.at[idx].set(kp.valid),
             depth=self.depth.at[idx].set(depth_small),
-            color=self.color.at[idx].set(color_small),
+            color=self.color.at[idx].set(color_small[:ch, :cw]),
         )
 
-    def clear_features(self, idx: int) -> "NodeStore":
-        """Free feature slots (clearFeatureInformation capability)."""
-        return self._replace(kp_valid=self.kp_valid.at[idx].set(False))
+    def clear_features(self, idx) -> "NodeStore":
+        """Free feature slots (clearFeatureInformation capability).
+
+        idx may be a scalar or an index array (batched clearing for the
+        clear_non_keyframes auto-free path)."""
+        return self._replace(kp_valid=self.kp_valid.at[jnp.asarray(idx)].set(False))

@@ -63,7 +63,9 @@ def _subsample(points, valid, stride: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "max_corr_dist", "src_stride", "dst_stride"),
+    static_argnames=(
+        "iterations", "max_corr_dist", "src_stride", "dst_stride", "prior_weight"
+    ),
 )
 def icp_point_to_plane(
     T0: jnp.ndarray,
@@ -75,8 +77,18 @@ def icp_point_to_plane(
     max_corr_dist: float = 0.05,
     src_stride: int = 4,
     dst_stride: int = 2,
+    prior_weight: float = 10.0,
 ) -> IcpResult:
-    """Refine T0 (dst_T_src) by point-to-plane ICP between two RGB-D grids."""
+    """Refine T0 (dst_T_src) by point-to-plane ICP between two RGB-D grids.
+
+    prior_weight adds a weak quadratic prior pulling the estimate toward the
+    seed T0. Point-to-plane cost has an exact null space when the view is
+    dominated by one plane (normal spectrum collapses); the prior pins those
+    unconstrained directions to the seed (identity/RANSAC — already close at
+    frame rate) while the data term, orders of magnitude stronger along
+    constrained directions, dominates everywhere else. This is the practical
+    stand-in for GICP's plane-to-plane covariance regularization
+    (external/gicp/gicp.h AlignScan capability)."""
     src, sv = _subsample(src_points, src_valid, src_stride)
     dst, dv = _subsample(dst_points, dst_valid, dst_stride)
     normals = grid_normals(dst_points, dst_valid)
@@ -92,15 +104,24 @@ def icp_point_to_plane(
         j = jnp.argmin(d2, axis=-1)
         return j, jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
 
-    def step(carry, _):
+    def step(carry, k):
         T, _, _, _ = carry
         moved = se3.apply(T, src)
         j, d2 = nn(moved)
         q = dst[j]
         n = nrm[j]
+        # annealed correspondence gate (coarse-to-fine): the first iterations
+        # accept matches out to 4x the final radius so an initial offset
+        # larger than max_corr_dist still finds correspondences, then the
+        # radius shrinks geometrically to max_corr_dist (pcl ICP analog of
+        # a multi-resolution schedule without an explicit pyramid)
+        corr = jnp.maximum(
+            jnp.asarray(max_corr_dist, jnp.float32),
+            4.0 * max_corr_dist * (0.7 ** k.astype(jnp.float32)),
+        )
         ok = (
             sv
-            & (d2 < max_corr_dist * max_corr_dist)
+            & (d2 < corr * corr)
             & (jnp.linalg.norm(n, axis=-1) > 0.5)
         )
         r = jnp.sum((moved - q) * n, axis=-1)  # point-to-plane residual
@@ -114,16 +135,19 @@ def icp_point_to_plane(
         # dr/dv = n ; dr/dw = (moved x n)
         J = jnp.concatenate([n, jnp.cross(moved, n)], axis=-1)  # (N, 6)
         Jw = J * w[:, None]
-        H = Jw.T @ J + 1e-6 * jnp.eye(6)
-        b = Jw.T @ r
+        # seed prior: penalize ||log(T T0^-1)||^2 (left-multiplicative frame,
+        # matching the update below); Jacobian ~ I near the seed
+        r_prior = se3.log_se3(T @ se3.inv(T0))
+        H = Jw.T @ J + (prior_weight + 1e-6) * jnp.eye(6)
+        b = Jw.T @ r + prior_weight * r_prior
         delta = -jnp.linalg.solve(H, b)
         # trust region: cap the step (GN overshoots into point-to-plane null
         # spaces on planar scenes; small steps keep NN assignments valid)
         tn = jnp.linalg.norm(delta[:3])
         rn = jnp.linalg.norm(delta[3:])
         scale = jnp.minimum(
-            jnp.where(tn > 0.02, 0.02 / tn, 1.0),
-            jnp.where(rn > 0.05, 0.05 / rn, 1.0),
+            jnp.where(tn > 0.05, 0.05 / tn, 1.0),
+            jnp.where(rn > 0.1, 0.1 / rn, 1.0),
         )
         delta = delta * scale
         T_new = se3.exp_se3(delta) @ T  # left-multiplicative update
@@ -135,5 +159,7 @@ def icp_point_to_plane(
         return (T_out, rmse, n_ok, enough), None
 
     init = (T0, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0), jnp.asarray(False))
-    (T, rmse, n_ok, enough), _ = jax.lax.scan(step, init, None, length=iterations)
+    (T, rmse, n_ok, enough), _ = jax.lax.scan(
+        step, init, jnp.arange(iterations)
+    )
     return IcpResult(transform=T, rmse=rmse, n_pairs=n_ok, converged=enough)

@@ -84,6 +84,79 @@ def evaluate_sequences(
     return results
 
 
+def evaluate_sequences_sharded(
+    sequences: Sequence,  # (name, grays (T,H,W), depths (T,H,W), gt_poses) tuples
+    cam: Intrinsics,
+    params: Optional[ParameterServer] = None,
+    out_dir="eval_out_sharded",
+) -> List[SequenceResult]:
+    """One sequence per mesh device (SURVEY §2.3's TPU scale axis).
+
+    Runs the sequential-VO frontend for all sequences simultaneously on a
+    tpu_mesh_devices-wide mesh (parallel/multi_eval.py) and reports per-
+    sequence ATE. The full graph-SLAM protocol stays per-device-serial in
+    evaluate_sequences; this driver is the throughput path for frontend
+    sweeps (e.g. feature/RANSAC ablations over many sequences at once).
+    """
+    import jax
+
+    from ..eval.ate import evaluate_ate
+    from ..graph.manager import GraphManager
+    from ..parallel import candidate_mesh, vo_trajectories_sharded
+
+    params = params or ParameterServer()
+    n_dev = params["tpu_mesh_devices"]
+    mesh = candidate_mesh(n_dev)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    # pad the sequence batch to a multiple of the mesh size
+    names = [s[0] for s in sequences]
+    grays = [np.asarray(s[1], np.float32) for s in sequences]
+    depths = [np.asarray(s[2], np.float32) for s in sequences]
+    gts = [s[3] for s in sequences]
+    S = len(sequences)
+    pad = (-S) % n_dev
+    grays += [grays[0]] * pad
+    depths += [depths[0]] * pad
+    mgr = GraphManager(cam, params)  # for the configured extractor
+    res = vo_trajectories_sharded(
+        mesh,
+        np.stack(grays),
+        np.stack(depths),
+        jax.random.PRNGKey(params["tpu_seed"]),
+        mgr.extractor,
+        cam,
+        max_matches=min(params["max_matches"], params["max_keypoints"]),
+        ratio=params["nn_distance_ratio"],
+        n_hypotheses=params["ransac_iterations"],
+        min_inliers=params["min_matches"],
+        sigma_depth=params["sigma_depth"],
+    )
+    poses_all = np.asarray(res.poses)
+    results: List[SequenceResult] = []
+    for i, name in enumerate(names):
+        T = poses_all[i]
+        stamps = np.arange(T.shape[0]) / 30.0
+        ate = float("nan")
+        if gts[i] is not None:
+            ate = evaluate_ate(
+                stamps, T[:, :3, 3], stamps, np.asarray(gts[i])[:, :3, 3]
+            ).rmse
+        results.append(
+            SequenceResult(
+                name=name,
+                config="vo_sharded",
+                ate_by_level={0: ate},
+                duration_s=0.0,
+                fps=0.0,
+                nodes=T.shape[0],
+                edges=int(np.asarray(res.ok[i]).sum()),
+            )
+        )
+    write_summary_csv(out / "summary.csv", results)
+    return results
+
+
 def write_summary_csv(path, results: List[SequenceResult]):
     """The summarize_evaluation.sh output shape: one row per run."""
     with open(path, "w", newline="") as f:

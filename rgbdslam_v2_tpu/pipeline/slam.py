@@ -52,16 +52,63 @@ class SlamPipeline:
         self.n_processed = 0
         self.n_dropped = 0
         self.wall_time = 0.0
+        self.paused = False  # interactive run control (pause/step/one-frame)
+        self._step_once = False
+        # online octomap creation (graph_manager.cpp:1044-1049)
+        self._online_map = None
+        self._online_inserts = 0
+        self.online_octomap_path = "map_online.ot"
+
+    # ------------------------------------------------------------------
+    # Interactive run control (the reference's pause / "space" / "enter"
+    # step semantics: openni_listener.cpp:119-120, :262, :665-749).
+    # ------------------------------------------------------------------
+    def toggle_pause(self):
+        self.paused = not self.paused
+        return self.paused
+
+    def get_one_frame(self):
+        """Process exactly one frame while paused (getOneFrame signal)."""
+        self._step_once = True
 
     # ------------------------------------------------------------------
     def process_frame(self, rgb, depth, timestamp: float, gt_pose=None) -> bool:
+        if self.paused and not self._step_once:
+            return False
+        self._step_once = False
         t0 = time.perf_counter()
         took = self.manager.add_frame(rgb, depth, timestamp, gt_pose)
         self.wall_time += time.perf_counter() - t0
         self.n_processed += 1
         if not took:
             self.n_dropped += 1
+        elif self.params["octomap_online_creation"]:
+            self._online_octomap_insert(self.manager.n_nodes - 1)
         return took
+
+    def _online_octomap_insert(self, node_id: int):
+        """octomap_online_creation: insert each accepted node's cloud as it
+        arrives; autosave every octomap_autosave_step inserts
+        (graph_mgr_io.cpp:292-295, ColorOctomapServer.cpp:84-87)."""
+        from ..mapping import VoxelMap, VoxelMapConfig
+
+        if self._online_map is None:
+            self._online_map = VoxelMap(
+                VoxelMapConfig(
+                    resolution=self.params["octomap_resolution"],
+                    prob_hit=self.params["octomap_prob_hit"],
+                    prob_miss=self.params["octomap_prob_miss"],
+                    clamp_min=self.params["octomap_clamping_min"],
+                    clamp_max=self.params["octomap_clamping_max"],
+                    occupancy_threshold=self.params["octomap_occupancy_threshold"],
+                )
+            )
+        pts, cols, valid, origin = self._node_world_cloud(node_id)
+        self._online_map.insert_cloud(pts, cols, valid, origin)
+        self._online_inserts += 1
+        step = self.params["octomap_autosave_step"]
+        if step > 0 and self._online_inserts % step == 0:
+            self._online_map.save(self.online_octomap_path)
 
     def run_arrays(self, rgbs, depths, stamps, gt_poses=None) -> None:
         """Feed pre-loaded arrays with double-buffered host->device transfer.
@@ -85,7 +132,13 @@ class SlamPipeline:
             if k + 1 < len(idxs):
                 j = idxs[k + 1]
                 nxt = (jax.device_put(rgbs[j]), jax.device_put(depths[j]))
-            gt = gt_poses[0] if (gt_poses is not None and self.manager.n_nodes == 0) else None
+            # anchor the fixed first vertex at the GT of the first frame
+            # actually processed (idxs[0] may be > 0 with skip_first_n_frames)
+            gt = (
+                gt_poses[idxs[0]]
+                if (gt_poses is not None and self.manager.n_nodes == 0)
+                else None
+            )
             self.process_frame(rgb_d, depth_d, float(stamps[i]), gt)
 
     def run_tum(self, dataset: TumDataset, max_frames: Optional[int] = None,
@@ -105,24 +158,36 @@ class SlamPipeline:
             return
 
         if use_native and step == 1 and skip0 == 0:
+            # Fall back to the Python loader ONLY on construction/availability
+            # failures. Once iteration has started, decode errors must
+            # propagate — restarting from frame 0 would feed duplicate frames
+            # into a graph that already holds the first N nodes.
+            loader = None
             try:
-                from .. import io as _io
                 from ..io.native_loader import NativeTumLoader, native_available
 
                 if native_available():
                     loader = NativeTumLoader(
                         dataset, width=self.cam.width, height=self.cam.height
                     )
+            except Exception as exc:
+                import logging
+
+                logging.getLogger("rgbdslam.pipeline").warning(
+                    "native loader unavailable (%s); using Python loader", exc
+                )
+                loader = None
+            if loader is not None:
+                try:
                     count = 0
                     for ts, rgb, depth in loader:
                         self.process_frame(rgb, depth, ts)
                         count += 1
                         if max_frames and count >= max_frames:
                             break
+                finally:
                     loader.close()
-                    return
-            except Exception:
-                pass  # fall through to the Python loader
+                return
 
         def put(i):
             ts, rgb, depth = dataset.load(i)
@@ -157,7 +222,16 @@ class SlamPipeline:
         def save_level(level: int):
             stamps, poses = mgr.trajectory()
             path = out / f"{prefix}_iteration_{level}.txt"
-            write_trajectory(path, stamps, poses, comment=f"level {level}")
+            write_trajectory(
+                path,
+                stamps,
+                poses,
+                comment=(
+                    f"level {level}; frames "
+                    f"{self.params['fixed_frame_name']}->"
+                    f"{self.params['base_frame_name']}"
+                ),
+            )
             levels[level] = str(path)
             if gt_stamps is not None and gt_xyz is not None and len(stamps) > 2:
                 try:
@@ -167,9 +241,13 @@ class SlamPipeline:
                     pass
 
         save_level(0)
+        # The reference's protocol switches to full-graph optimization with
+        # first-vertex fixation for the final runs (openni_listener.cpp:439).
+        self.params["pose_relative_to"] = "first"
         mgr.optimize(iterations=self.params["optimizer_iterations"] * 2)
         save_level(1)
-        for level, thresh in ((2, 5.0), (3, 1.0), (4, 0.25)):
+        thresholds = ((2, self.params["edge_error_threshold"]), (3, 1.0), (4, 0.25))
+        for level, thresh in thresholds:
             mgr.prune_edges_above(thresh)
             mgr.optimize(iterations=self.params["optimizer_iterations"])
             save_level(level)
@@ -198,14 +276,17 @@ class SlamPipeline:
 
         mgr = self.manager
         depth = mgr.store.depth[node_id]
-        color = mgr.store.color[node_id]
         pts_cam = backproject_grid(depth, mgr.cam_small)
         pose = mgr.graph.poses[node_id]
         pts_w = _se3.apply(pose, pts_cam.reshape(-1, 3))
         valid = (depth > 0).reshape(-1)
+        if mgr.store.has_color:
+            cols = np.asarray(mgr.store.color[node_id]).reshape(-1, 3)
+        else:  # store_pointclouds=false: colors were not retained
+            cols = np.zeros((int(np.prod(depth.shape)), 3), np.uint8)
         return (
             np.asarray(pts_w),
-            np.asarray(color).reshape(-1, 3),
+            cols,
             np.asarray(valid),
             np.asarray(pose[:3, 3]),
         )
@@ -249,6 +330,24 @@ class SlamPipeline:
         else:
             write_pcd(path, pts, cols)
         return len(pts)
+
+    def save_individual_clouds(self, out_dir, fmt: str = "pcd"):
+        """One world-frame cloud file per node (saveIndividualCloudsToFile
+        capability, graph_mgr_io.cpp:330). Returns the file list."""
+        from ..io.pointcloud import write_pcd, write_ply
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        files = []
+        for nid in range(self.manager.n_nodes):
+            pts, cols, valid, _ = self._node_world_cloud(nid)
+            path = out / f"node_{nid:04d}.{fmt}"
+            if fmt == "ply":
+                write_ply(path, pts[valid], cols[valid])
+            else:
+                write_pcd(path, pts[valid], cols[valid])
+            files.append(str(path))
+        return files
 
     def save_g2o(self, path):
         """Export the pose graph in g2o text format (saveG2OGraph capability)."""

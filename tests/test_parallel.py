@@ -97,3 +97,35 @@ def test_sharded_compare_runs(mesh):
     assert ok.all()
     t = np.asarray(res.transform)
     assert np.abs(t[:, :3, 3]).max() < 1e-2
+
+
+def test_multi_sequence_sharded_eval(mesh):
+    """One sequence per device (SURVEY §2.3): sequential VO sharded over the
+    mesh recovers each sequence's trajectory."""
+    from rgbdslam_v2_tpu.config import ParameterServer
+    from rgbdslam_v2_tpu.core.camera import Intrinsics
+    from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
+    from rgbdslam_v2_tpu.pipeline.batch_eval import evaluate_sequences_sharded
+
+    cam = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0, width=160, height=120)
+    seqs = []
+    for s in range(2):
+        world = SyntheticWorld.create(seed=s, texture_size=256, cam=cam)
+        poses, rgbs, depths = render_sequence(world, 6, seed=10 + s)
+        grays = np.stack([r.mean(-1).astype(np.float32) for r in rgbs])
+        # gt in first-frame-relative coordinates (VO starts at identity)
+        rel = np.linalg.inv(poses[0])[None] @ poses
+        seqs.append((f"seq{s}", grays, np.stack(depths), rel))
+    params = ParameterServer(
+        dict(
+            tpu_mesh_devices=2,
+            max_keypoints=256,
+            ransac_iterations=128,
+            min_matches=10,
+            max_matches=128,
+        )
+    )
+    results = evaluate_sequences_sharded(seqs, cam, params, out_dir="/tmp/shard_eval")
+    assert len(results) == 2
+    for r in results:
+        assert r.ate_by_level[0] < 0.02, f"{r.name} VO ATE {r.ate_by_level[0]}"

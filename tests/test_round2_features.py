@@ -1,0 +1,251 @@
+"""Round-2 capability tests: inaffected fixation, localization-only mode,
+ICP rescue, landmark-BA wiring, first-node replacement, clear_non_keyframes,
+store_pointclouds, pause/step, and the no-dead-parameters meta check."""
+import numpy as np
+import pytest
+
+from rgbdslam_v2_tpu.config import ParameterServer
+from rgbdslam_v2_tpu.core.camera import Intrinsics
+from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
+from rgbdslam_v2_tpu.pipeline import SlamPipeline
+
+CAM = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0, width=160, height=120)
+N = 12
+
+
+@pytest.fixture(scope="module")
+def seq():
+    world = SyntheticWorld.create(seed=0, texture_size=256, cam=CAM)
+    poses, rgbs, depths = render_sequence(world, N, seed=2)
+    stamps = np.arange(N) / 30.0
+    return poses, rgbs, depths, stamps
+
+
+def _params(**over):
+    base = dict(
+        max_keypoints=256,
+        tpu_max_nodes=32,
+        tpu_max_edges=512,
+        tpu_candidate_batch=4,
+        ransac_iterations=128,
+        min_matches=12,
+        optimizer_skip_step=100,
+        keep_all_nodes=True,
+        observability_threshold=0.5,
+    )
+    base.update(over)
+    return ParameterServer(base)
+
+
+# ---------------------------------------------------------------------------
+def test_inaffected_keeps_old_poses_bit_identical(seq):
+    poses, rgbs, depths, stamps = seq
+    p = _params(pose_relative_to="inaffected")
+    pipe = SlamPipeline(CAM, p)
+    pipe.run_arrays(rgbs[:6], depths[:6], stamps[:6], gt_poses=poses)
+    mgr = pipe.manager
+    mgr.optimize()  # full first pass; watermark -> 6
+    assert mgr._nodes_opt_watermark == 6
+    pipe.run_arrays(rgbs[6:10], depths[6:10], stamps[6:10])
+    before = mgr.poses().copy()
+    mgr.optimize()  # inaffected: only nodes 6..9 may move
+    after = mgr.poses()
+    assert np.array_equal(before[:6], after[:6]), "optimized old poses moved"
+    # the subgraph solve actually ran (watermark advanced)
+    assert mgr._nodes_opt_watermark == 10
+
+
+def test_inaffected_differs_from_first(seq):
+    """pose_relative_to must change behavior: under 'first' a second
+    optimize may move old poses; under 'inaffected' it must not."""
+    poses, rgbs, depths, stamps = seq
+    pipe = SlamPipeline(CAM, _params(pose_relative_to="first"))
+    pipe.run_arrays(rgbs[:6], depths[:6], stamps[:6], gt_poses=poses)
+    pipe.manager.optimize()
+    pipe.run_arrays(rgbs[6:10], depths[6:10], stamps[6:10])
+    before = pipe.manager.poses().copy()
+    pipe.manager.optimize()
+    after = pipe.manager.poses()
+    # under "first" everything except node 0 is free; with fresh edges the
+    # old segment is expected to move at least a little
+    assert not np.array_equal(before[1:6], after[1:6])
+
+
+# ---------------------------------------------------------------------------
+def test_localization_mode_estimates_pose(seq):
+    poses, rgbs, depths, stamps = seq
+    pipe = SlamPipeline(CAM, _params())
+    pipe.run_arrays(rgbs[:8], depths[:8], stamps[:8], gt_poses=poses)
+    mgr = pipe.manager
+    mgr.optimize()
+    mgr.toggle_mapping(False)
+    n0, e0 = mgr.n_nodes, mgr.n_edges
+    # replay mid-sequence frames: must localize without growing the graph
+    for i in (3, 5):
+        ok = mgr.add_frame(rgbs[i], depths[i], stamps[i] + 1.0)
+        assert ok, f"frame {i} failed to localize"
+        est = mgr.localization_pose
+        err = np.linalg.norm(est[:3, 3] - poses[i][:3, 3])
+        assert err < 0.05, f"localization error {err:.3f} m"
+    assert mgr.n_nodes == n0 and mgr.n_edges == e0
+    assert len(mgr.localization_trajectory) == 2
+    mgr.toggle_mapping(True)
+    assert mgr.add_frame(rgbs[8], depths[8], stamps[8])
+    assert mgr.n_nodes == n0 + 1
+
+
+# ---------------------------------------------------------------------------
+def test_icp_rescue_on_textureless_frames(seq):
+    poses, rgbs, depths, stamps = seq
+    gray = [np.full_like(r, 128) for r in rgbs[:3]]  # texture removed
+    # without ICP: visual matching fails, no node accepted
+    p0 = _params(keep_all_nodes=False, observability_threshold=0.0)
+    pipe0 = SlamPipeline(CAM, p0)
+    pipe0.run_arrays(gray, depths[:3], stamps[:3], gt_poses=poses)
+    assert pipe0.manager.n_nodes == 1
+
+    # with ICP: the dense-geometry fallback rescues the edge
+    p1 = _params(
+        keep_all_nodes=False,
+        observability_threshold=0.0,
+        use_icp=True,
+        icp_max_iterations=15,
+    )
+    pipe1 = SlamPipeline(CAM, p1)
+    pipe1.run_arrays(gray, depths[:3], stamps[:3], gt_poses=poses)
+    mgr = pipe1.manager
+    assert mgr.n_nodes == 3, "ICP rescue did not accept the frames"
+    assert any(d.reason == "icp" for d in mgr.last_decisions)
+    # geometry is good: pose error small vs ground truth
+    err = np.linalg.norm(mgr.poses()[2][:3, 3] - poses[2][:3, 3])
+    assert err < 0.03, f"ICP pose error {err:.3f} m"
+
+
+# ---------------------------------------------------------------------------
+def test_landmark_ba_wired_and_improves_perturbed_poses(seq):
+    import jax.numpy as jnp
+
+    from rgbdslam_v2_tpu.core import se3
+    from rgbdslam_v2_tpu.eval.ate import evaluate_ate
+
+    poses, rgbs, depths, stamps = seq
+    pipe = SlamPipeline(CAM, _params())
+    pipe.run_arrays(rgbs[:8], depths[:8], stamps[:8], gt_poses=poses)
+    mgr = pipe.manager
+    mgr.optimize()
+    gt_xyz = poses[:8, :3, 3]
+
+    def ate():
+        return evaluate_ate(
+            stamps[:8], mgr.poses()[:, :3, 3], stamps[:8], gt_xyz
+        ).rmse
+
+    ate_pg = ate()
+    # perturb the non-fixed poses, then recover with landmark BA
+    rng = np.random.default_rng(0)
+    xi = rng.normal(0, 0.01, (8, 6)).astype(np.float32)
+    xi[0] = 0
+    pert = mgr.graph.poses.at[:8].set(
+        mgr.graph.poses[:8] @ se3.exp_se3(jnp.asarray(xi))
+    )
+    mgr.graph = mgr.graph._replace(poses=pert)
+    ate_pert = ate()
+    stats = mgr.optimize_landmarks(iterations=10)
+    assert stats["landmarks"] > 20
+    assert stats["observations"] > stats["landmarks"]
+    assert stats["chi2_after"] < stats["chi2_before"]
+    ate_ba = ate()
+    assert ate_ba < 0.6 * ate_pert, (ate_pg, ate_pert, ate_ba)
+    assert ate_ba < max(2.0 * ate_pg, 0.01)
+
+
+# ---------------------------------------------------------------------------
+def test_first_node_replacement(seq):
+    poses, rgbs, depths, stamps = seq
+    gray0 = np.full_like(rgbs[0], 128)  # feature-poor first frame
+    p = _params(keep_all_nodes=False, keep_good_nodes=False)
+    pipe = SlamPipeline(CAM, p)
+    mgr = pipe.manager
+    assert mgr.add_frame(gray0, depths[0], stamps[0], poses[0])
+    count0 = mgr._kp_count0
+    # unmatched but better-featured frame replaces the first node
+    assert not mgr.add_frame(rgbs[0], depths[0], stamps[1])
+    assert mgr.n_nodes == 1
+    assert mgr._kp_count0 > count0
+    assert mgr.timestamps[0] == stamps[1]
+
+
+# ---------------------------------------------------------------------------
+def test_clear_non_keyframes_frees_features(seq):
+    poses, rgbs, depths, stamps = seq
+    p = _params(clear_non_keyframes=True, predecessor_candidates=2)
+    pipe = SlamPipeline(CAM, p)
+    pipe.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+    mgr = pipe.manager
+    mgr._drain_pending()
+    if mgr._clear_queue:  # flush the batch remainder for the assertion
+        mgr.store = mgr.store.clear_features(
+            np.asarray(mgr._clear_queue, np.int32)
+        )
+        mgr._clear_queue = []
+    valid = np.asarray(mgr.store.kp_valid[: mgr.n_nodes]).any(axis=1)
+    cleared = [
+        i
+        for i in range(1, mgr.n_nodes - p["predecessor_candidates"] - 1)
+        if i not in mgr.keyframes
+    ]
+    assert cleared, "test needs at least one non-keyframe"
+    assert not valid[cleared].any(), "non-keyframe features not freed"
+    assert valid[0], "keyframe features must be kept"
+
+
+# ---------------------------------------------------------------------------
+def test_store_pointclouds_off(tmp_path, seq):
+    poses, rgbs, depths, stamps = seq
+    p = _params(store_pointclouds=False)
+    pipe = SlamPipeline(CAM, p)
+    pipe.run_arrays(rgbs[:4], depths[:4], stamps[:4], gt_poses=poses)
+    mgr = pipe.manager
+    assert not mgr.store.has_color
+    assert mgr.n_nodes == 4
+    # EMM still works (depth is retained); export yields colorless points
+    n = pipe.save_clouds(tmp_path / "c.pcd")
+    assert n > 0
+
+
+# ---------------------------------------------------------------------------
+def test_pause_and_step(seq):
+    poses, rgbs, depths, stamps = seq
+    pipe = SlamPipeline(CAM, _params())
+    pipe.toggle_pause()
+    pipe.run_arrays(rgbs[:4], depths[:4], stamps[:4], gt_poses=poses)
+    assert pipe.manager.n_nodes == 0  # paused: nothing processed
+    pipe.get_one_frame()
+    pipe.run_arrays(rgbs[:4], depths[:4], stamps[:4], gt_poses=poses)
+    assert pipe.manager.n_nodes == 1  # exactly one stepped frame
+    pipe.toggle_pause()
+    pipe.run_arrays(rgbs[:4], depths[:4], stamps[:4], gt_poses=poses)
+    assert pipe.manager.n_nodes >= 3
+
+
+# ---------------------------------------------------------------------------
+def test_no_dead_parameters():
+    """Every registered parameter must be read somewhere outside its
+    definition — a silently ignored option is worse than an absent one."""
+    import re
+    from pathlib import Path
+
+    from rgbdslam_v2_tpu.config.params import PARAM_DEFS
+
+    root = Path(__file__).resolve().parents[1] / "rgbdslam_v2_tpu"
+    blob = "\n".join(
+        f.read_text()
+        for f in root.rglob("*.py")
+        if f.name != "params.py"
+    )
+    dead = [
+        d.name
+        for d in PARAM_DEFS
+        if not re.search(rf"[\"']{re.escape(d.name)}[\"']", blob)
+    ]
+    assert dead == [], f"parameters defined but never read: {dead}"
