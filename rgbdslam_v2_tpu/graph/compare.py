@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..core import se3
 from ..core.camera import Intrinsics, backproject_grid
 from ..models.types import Keypoints
-from ..ops.emm import observation_likelihood
+from ..ops.emm import emm_pool_maps, observation_likelihood
 from ..ops.matching import match_descriptors
 from ..ops.registration import ransac_register
 from .node_store import NodeStore
@@ -111,17 +111,24 @@ def compare_to_candidates(
     )(keys, src, dst, m.dist, m.valid)
 
     # ---- bidirectional EMM at the storage stride ---------------------------
+    # All reduce_window pooling is hoisted out of the per-candidate vmap: the
+    # candidates' [lo, hi] maps were precomputed at commit time
+    # (store.emm_lohi), the new frame's are computed ONCE here.
     new_points = backproject_grid(new_depth_small, cam_small)
     new_valid = new_depth_small > 0
+    new_lohi = emm_pool_maps(new_depth_small)
+    c_lohi = store.emm_lohi[cand_idx]  # (B, h, w) packed f16 pairs
 
-    def emm_one(T, cdepth):
+    def emm_one(T, cdepth, clohi):
         # direction 1: new points into candidate camera (old_T_new = T)
         a = observation_likelihood(
-            T, new_points, new_valid, cdepth, cam_small, emm_skip, sigma_depth
+            T, new_points, new_valid, cdepth, cam_small, emm_skip, sigma_depth,
+            old_lohi=clohi,
         )
         cpoints = backproject_grid(cdepth, cam_small)
         b = observation_likelihood(
-            se3.inv(T), cpoints, cdepth > 0, new_depth_small, cam_small, emm_skip, sigma_depth
+            se3.inv(T), cpoints, cdepth > 0, new_depth_small, cam_small,
+            emm_skip, sigma_depth, old_lohi=new_lohi,
         )
         n_in = a.inliers + b.inliers
         n_out = a.outliers + b.outliers
@@ -130,7 +137,7 @@ def compare_to_candidates(
         frac = n_in.astype(jnp.float32) / jnp.maximum(n_all, 1).astype(jnp.float32)
         return q, frac, n_all
 
-    emm_q, emm_frac, emm_all = jax.vmap(emm_one)(reg.transform, c_depth)
+    emm_q, emm_frac, emm_all = jax.vmap(emm_one)(reg.transform, c_depth, c_lohi)
 
     return CompareResult(
         transform=reg.transform,

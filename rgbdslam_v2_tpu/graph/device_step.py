@@ -166,6 +166,8 @@ def slam_step(
 
     # ---- commit (donated, in-place) ----------------------------------------
     sl = jnp.arange(B + 1) + edge_start
+    from ..ops.emm import emm_pool_maps
+
     ch, cw = store.color.shape[1:3]
     store = store._replace(
         uv=store.uv.at[new_id].set(kp.uv),
@@ -173,6 +175,7 @@ def slam_step(
         desc=store.desc.at[new_id].set(kp.desc.astype(store.desc.dtype)),
         kp_valid=store.kp_valid.at[new_id].set(kp.valid),
         depth=store.depth.at[new_id].set(depth_small),
+        emm_lohi=store.emm_lohi.at[new_id].set(emm_pool_maps(depth_small)),
         color=store.color.at[new_id].set(color_small[:ch, :cw]),
     )
     new_pose = graph.poses[base_id] @ base_T_new

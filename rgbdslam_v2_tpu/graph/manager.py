@@ -89,6 +89,8 @@ def _commit_node(
     Donation makes the (large) store/graph updates in-place — without it
     every insert copies hundreds of MB of HBM per frame.
     """
+    from ..ops.emm import emm_pool_maps
+
     ch, cw = store.color.shape[1:3]
     store = store._replace(
         uv=store.uv.at[new_id].set(kp.uv),
@@ -96,6 +98,7 @@ def _commit_node(
         desc=store.desc.at[new_id].set(kp.desc.astype(store.desc.dtype)),
         kp_valid=store.kp_valid.at[new_id].set(kp.valid),
         depth=store.depth.at[new_id].set(depth_small),
+        emm_lohi=store.emm_lohi.at[new_id].set(emm_pool_maps(depth_small)),
         color=store.color.at[new_id].set(color_small[:ch, :cw]),
     )
     new_pose = graph.poses[base_id] @ base_T_new
@@ -799,6 +802,12 @@ class GraphManager:
         self.n_edges = edge_start + B + 1
         self.edge_pairs.extend([None] * (B + 1))
         self.edge_types.extend([-1] * (B + 1))
+        # Start the device->host copy of the summary NOW: the drain happens
+        # several frames later, so the transfer lands long before it's read
+        # and the drain's device_get never pays the link round-trip (on the
+        # tunnel a blocking pull costs ~40-80 ms — one RTT).
+        for leaf in summary:
+            leaf.copy_to_host_async()
         self._pending.append((new_id, list(padded), edge_start, summary))
         self.n_nodes += 1
         self.timestamps.append(timestamp)

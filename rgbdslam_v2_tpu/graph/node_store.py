@@ -23,6 +23,9 @@ class NodeStore(NamedTuple):
       uv (N, K, 2) f32 | xyz (N, K, 3) f32 | desc (N, K, D) | valid (N, K) bool
     EMM data at stride s (h = H/s, w = W/s):
       depth (N, h, w) f32  — 0 where invalid
+      emm_lohi (N, h, w) uint32 — precomputed 5x5 [min|max] depth pools,
+        f16-packed (ops/emm.emm_pool_maps); candidate EMM validation is then
+        ONE gather per point, no per-candidate reduce_windows
       color (N, h, w, 3) uint8 — for mapping/export
     """
 
@@ -31,6 +34,7 @@ class NodeStore(NamedTuple):
     desc: jnp.ndarray
     kp_valid: jnp.ndarray
     depth: jnp.ndarray
+    emm_lohi: jnp.ndarray
     color: jnp.ndarray
 
     @classmethod
@@ -54,6 +58,7 @@ class NodeStore(NamedTuple):
             desc=jnp.zeros((n_cap, k_cap, desc_dim), desc_dtype),
             kp_valid=jnp.zeros((n_cap, k_cap), bool),
             depth=jnp.zeros((n_cap, emm_h, emm_w), jnp.float32),
+            emm_lohi=jnp.zeros((n_cap, emm_h, emm_w), jnp.uint32),
             color=jnp.zeros((n_cap, ch, cw, 3), jnp.uint8),
         )
 
@@ -66,6 +71,8 @@ class NodeStore(NamedTuple):
         return self.uv.shape[0]
 
     def insert(self, idx: int, kp: Keypoints, depth_small, color_small) -> "NodeStore":
+        from ..ops.emm import emm_pool_maps
+
         ch, cw = self.color.shape[1:3]
         return self._replace(
             uv=self.uv.at[idx].set(kp.uv),
@@ -73,6 +80,7 @@ class NodeStore(NamedTuple):
             desc=self.desc.at[idx].set(kp.desc.astype(self.desc.dtype)),
             kp_valid=self.kp_valid.at[idx].set(kp.valid),
             depth=self.depth.at[idx].set(depth_small),
+            emm_lohi=self.emm_lohi.at[idx].set(emm_pool_maps(depth_small)),
             color=self.color.at[idx].set(color_small[:ch, :cw]),
         )
 

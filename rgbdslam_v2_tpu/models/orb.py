@@ -71,6 +71,7 @@ class OrbExtractor:
             self.use_pallas and self.use_harris and jax.default_backend() == "tpu"
         )
         all_uv, all_score, all_level = [], [], []
+        all_theta, all_desc = [], []
         img_l = gray
         for l, (h, w) in enumerate(self.level_shapes(H, W)):
             if l > 0:
@@ -87,13 +88,23 @@ class OrbExtractor:
                 )
             k_l = self.level_budget(l)
             uv, sc, _ = fast_ops.select_keypoints_grid(score_map, k_l, grid=self.grid)
+            # Describe on the LEVEL image (classic ORB: scale-correct patch
+            # support), via patch-slice + MXU binned BRIEF — no per-sample
+            # gathers (ops/orb.py describe_patches).
+            blur_l = orb_ops.gaussian_blur(img_l, 2.0)
+            patches = orb_ops.extract_patches(blur_l, uv)
+            theta_l, desc_l = orb_ops.describe_patches(patches)
             scale = self.scale_factor**l
             all_uv.append(uv * scale)
             all_score.append(sc)
             all_level.append(jnp.full((k_l,), l, jnp.int32))
+            all_theta.append(theta_l)
+            all_desc.append(desc_l)
         uv = jnp.concatenate(all_uv, 0)
         score = jnp.concatenate(all_score, 0)
         level = jnp.concatenate(all_level, 0)
+        theta_all = jnp.concatenate(all_theta, 0)
+        desc_all = jnp.concatenate(all_desc, 0)
 
         # Depth validity at keypoint locations (fold into selection priority).
         xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
@@ -115,9 +126,8 @@ class OrbExtractor:
         z = z[top_idx]
         valid = jnp.isfinite(top_score)
         z = jnp.where(valid, z, 0.0)
-
-        # Orientation + descriptors in one batch at full resolution.
-        theta, desc = orb_ops.describe(gray, uv)
+        theta = theta_all[top_idx]
+        desc = desc_all[top_idx]
 
         # Backproject with intrinsics (subpixel uv).
         x = (uv[:, 0] - cam.cx) * z / cam.fx

@@ -76,6 +76,38 @@ def test_orb_descriptor_shift_invariance():
     assert (off.min(1) > diag + 10).all()  # distinct points: far
 
 
+def test_orb_descriptor_scale_support():
+    """Scale-aware descriptors match across a zoom; fixed-support ones drift.
+
+    A keypoint described with scale=s on the original image must match the
+    same world point described with scale=1 on an s-times-magnified image
+    (that is exactly the pyramid relationship: a level-l keypoint's patch on
+    the full-res image spans s^l times the base support).
+    """
+    from rgbdslam_v2_tpu.ops.image import resize_bilinear
+
+    noise = np.random.default_rng(7).uniform(0, 1, (240, 320)).astype(np.float32)
+    img = orb_ops.gaussian_blur(jnp.asarray(noise), 5.0)
+    s = 1.4
+    # the "pyramid level" image: downscaled by s; a level keypoint's full-res
+    # descriptor (scale=s) must match its level-image descriptor (scale=1)
+    small = resize_bilinear(img, (int(240 / s), int(320 / s)))
+    pts = jnp.asarray(
+        [[110.0, 100.0], [160.0, 120.0], [200.0, 90.0], [130.0, 150.0]]
+    )
+    K = pts.shape[0]
+    _, d_full = orb_ops.describe(img, pts, scale=jnp.full((K,), s))
+    _, d_lvl = orb_ops.describe(small, pts / s, scale=jnp.ones((K,)))
+    ham_scaled = np.diag(np.asarray(matching.descriptor_distances(d_full, d_lvl)))
+
+    # fixed support (no scale compensation) across the same zoom
+    _, d_full0 = orb_ops.describe(img, pts)
+    ham_fixed = np.diag(np.asarray(matching.descriptor_distances(d_full0, d_lvl)))
+
+    assert ham_scaled.mean() < ham_fixed.mean() - 20
+    assert (ham_scaled < 40).all()
+
+
 def test_match_descriptors_ratio_and_dedup():
     rng = np.random.default_rng(0)
     base = np.where(rng.uniform(size=(20, 256)) > 0.5, 1, -1).astype(np.int8)
