@@ -29,14 +29,30 @@ from .node_store import NodeStore
 
 
 class StepSummary(NamedTuple):
-    """Small per-frame outputs for host bookkeeping (pulled in batches)."""
+    """Per-frame outputs for host bookkeeping, unpacked from the flat
+    (4B+2,) float32 vector slam_step returns (one array = one async
+    device->host copy per frame; each copy call costs ~0.3 ms of host time
+    on the tunnel, so the summary is packed rather than returned as six
+    leaves)."""
 
-    accepted: jnp.ndarray  # (B,) bool — edge written for candidate b
-    n_inliers: jnp.ndarray  # (B,) int32
-    rmse: jnp.ndarray  # (B,) float32
-    emm_quality: jnp.ndarray  # (B,) float32
-    fallback_used: jnp.ndarray  # () bool — constant-position edge written
-    n_valid_kp: jnp.ndarray  # () int32
+    accepted: "object"  # (B,) bool — edge written for candidate b
+    n_inliers: "object"  # (B,) int
+    rmse: "object"  # (B,) float
+    emm_quality: "object"  # (B,) float
+    fallback_used: "object"  # () bool — constant-position edge written
+    n_valid_kp: "object"  # () int
+
+    @classmethod
+    def unpack(cls, flat, B: int) -> "StepSummary":
+        """flat: (4B+2,) numpy float32 (already on host)."""
+        return cls(
+            accepted=flat[:B] > 0.5,
+            n_inliers=flat[B : 2 * B].astype(int),
+            rmse=flat[2 * B : 3 * B],
+            emm_quality=flat[3 * B : 4 * B],
+            fallback_used=flat[4 * B] > 0.5,
+            n_valid_kp=int(flat[4 * B + 1]),
+        )
 
 
 @functools.partial(
@@ -68,15 +84,16 @@ class StepSummary(NamedTuple):
 def slam_step(
     store: NodeStore,
     graph: GraphState,
-    rgb,
-    depth,
+    gray8,  # (H, W) uint8 — compact ingest (see manager.compact_frame)
+    depth16,  # (H, W) uint16 — TUM 1/5000 quantization
+    color_small,  # (h, w, 3) uint8 — pre-strided on host
     new_id,  # () int32
     pred_id,  # () int32
     cand_idx,  # (B,) int32
     cand_dup,  # (B,) bool — True for padding duplicates (masked out)
     cand_dt,  # (B,) float32 — |t_new - t_cand| per candidate
     edge_start,  # () int32 — B+1 pre-allocated slots
-    key,
+    seed,  # () uint32 — RNG derived in-program (host-side key ops cost ~3 ms)
     # --- static config ---
     extractor=None,
     cam: Intrinsics = None,
@@ -101,8 +118,9 @@ def slam_step(
 ):
     from .manager import _prepare_and_extract
 
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     kp, depth_small, color_small = _prepare_and_extract(
-        extractor, cam, stride, min_depth, max_depth, rgb, depth
+        extractor, cam, stride, min_depth, max_depth, gray8, depth16, color_small
     )
     res = compare_to_candidates(
         kp,
@@ -192,12 +210,14 @@ def slam_step(
         ),
         edge_active=graph.edge_active.at[sl].set(e_active | graph.edge_active[sl]),
     )
-    summary = StepSummary(
-        accepted=accept,
-        n_inliers=res.n_inliers,
-        rmse=res.rmse,
-        emm_quality=res.emm_quality,
-        fallback_used=fallback,
-        n_valid_kp=kp.count(),
+    packed = jnp.concatenate(
+        [
+            accept.astype(jnp.float32),
+            res.n_inliers.astype(jnp.float32),
+            res.rmse,
+            res.emm_quality,
+            fallback.astype(jnp.float32)[None],
+            kp.count().astype(jnp.float32)[None],
+        ]
     )
-    return store, graph, summary
+    return store, graph, packed

@@ -44,27 +44,60 @@ EDGE_ODOMETRY = 2
 EDGE_CONST_POSITION = 3
 
 
+DEPTH_SCALE = 5000.0  # TUM PNG quantization: depth_meters = png_u16 / 5000
+
+
+def compact_frame(rgb, depth, stride: int):
+    """Host-side ingest compaction: (rgb u8 HxWx3, depth f32|u16 HxW) ->
+    (gray u8 HxW, depth u16 HxW, color u8 (H/s)x(W/s)x3) numpy arrays.
+
+    The tunnel's sustained host->device bandwidth (~50 MB/s) makes the
+    2.1 MB raw frame the pipeline bottleneck; the compact form is 1.15 MB
+    (gray for features — the reference converts to grayscale anyway,
+    node.cpp:101-240 — u16 depth at TUM's own 1/5000 quantization, and
+    color already at the cloud stride)."""
+    rgb = np.asarray(rgb)
+    depth = np.asarray(depth)
+    if rgb.ndim == 3:
+        r16 = rgb.astype(np.uint16)
+        gray8 = ((r16[..., 0] * 77 + r16[..., 1] * 150 + r16[..., 2] * 29) >> 8).astype(
+            np.uint8
+        )
+        color_small = np.ascontiguousarray(rgb[::stride, ::stride])
+    else:
+        gray8 = (
+            rgb if rgb.dtype == np.uint8
+            else np.clip(rgb * (255.0 if rgb.dtype.kind == "f" else 1.0), 0, 255).astype(np.uint8)
+        )
+        color_small = np.zeros(
+            (depth[::stride].shape[0], depth[0, ::stride].shape[0], 3), np.uint8
+        )
+    if depth.dtype == np.uint16:
+        d16 = depth
+    else:
+        d = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
+        d16 = np.clip(d * DEPTH_SCALE, 0, 65535).astype(np.uint16)
+    return gray8, d16, color_small
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("extractor", "cam", "stride", "min_depth", "max_depth"),
 )
-def _prepare_and_extract(extractor, cam, stride, min_depth, max_depth, rgb, depth):
-    """Fused per-frame device prep: gray conversion, depth masking, 3x3 min
-    depth, keypoint extraction, EMM-stride subsampling — ONE dispatch."""
-    from ..core.frames import rgb_to_gray
+def _prepare_and_extract(
+    extractor, cam, stride, min_depth, max_depth, gray8, depth16, color_small
+):
+    """Fused per-frame device prep on the COMPACT ingest format: u8 gray ->
+    f32, u16 depth -> meters + masking, 3x3 min depth, keypoint extraction
+    — ONE dispatch (color arrives pre-strided from the host)."""
     from ..models.orb import min_depth_map
 
-    depth = depth.astype(jnp.float32)
-    valid = jnp.isfinite(depth) & (depth > min_depth) & (depth < max_depth)
+    depth = depth16.astype(jnp.float32) * jnp.float32(1.0 / DEPTH_SCALE)
+    valid = (depth > min_depth) & (depth < max_depth)
     depth = jnp.where(valid, depth, 0.0)
-    gray = rgb_to_gray(rgb) if rgb.ndim == 3 else rgb.astype(jnp.float32)
+    gray = gray8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     kp = extractor(gray, min_depth_map(depth, valid), cam)
-    rgb_small = (
-        rgb[::stride, ::stride]
-        if rgb.ndim == 3
-        else jnp.zeros(depth[::stride, ::stride].shape + (3,), jnp.uint8)
-    )
-    return kp, depth[::stride, ::stride], rgb_small
+    return kp, depth[::stride, ::stride], color_small
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -159,6 +192,52 @@ def _icp_rescue_kernel(
     return res.transform, res.rmse, res.n_pairs, res.converged, q, frac
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "huber_delta", "pcg_iters", "solver"),
+    donate_argnums=(0,),
+)
+def _inaffected_kernel(
+    graph: GraphState,
+    gi,  # (ncap,) int32 global node ids (padded with gi[0])
+    ge,  # (ecap,) int32 global edge ids (padded with ge[0])
+    li,  # (ecap,) int32 local edge endpoints
+    lj,  # (ecap,) int32
+    nfix,  # (ncap,) bool — border nodes held fixed
+    nact,  # (ncap,) bool
+    eact,  # (ecap,) bool
+    free_mask,  # (ncap,) bool — which local poses scatter back
+    iterations: int = 3,
+    huber_delta: float = 1.0,
+    pcg_iters: int = 24,
+    solver: str = "dense",
+):
+    """Gather the affected subgraph, optimize it, scatter poses back — ONE
+    donated dispatch (pose_relative_to=inaffected, graph_manager.cpp:889-992).
+    Eagerly building the subgraph on the host cost ~10 one-op dispatches per
+    online optimize (~1 ms each through the tunnel)."""
+    sub = GraphState(
+        poses=graph.poses[gi],
+        node_active=nact,
+        node_fixed=nfix,
+        edge_i=li,
+        edge_j=lj,
+        edge_meas=graph.edge_meas[ge],
+        edge_info=graph.edge_info[ge],
+        edge_active=eact,
+    )
+    sub, chi2, _ = optimize(
+        sub,
+        iterations=iterations,
+        huber_delta=huber_delta,
+        pcg_iters=pcg_iters,
+        solver=solver,
+    )
+    new_poses = jnp.where(free_mask[:, None, None], sub.poses, graph.poses[gi])
+    graph = graph._replace(poses=graph.poses.at[gi].set(new_poses))
+    return graph, chi2
+
+
 @dataclasses.dataclass
 class MatchDecision:
     """Host-side record of one accepted/rejected candidate comparison."""
@@ -249,6 +328,9 @@ class GraphManager:
         self.edge_types: List[int] = []
         self.edge_pairs: List[tuple] = []
         self._key = jax.random.PRNGKey(p["tpu_seed"])
+        # fast-path RNG: a host counter folded into a fixed key in-program
+        # (device_step) — no per-frame host-side split
+        self._seed_counter = int(p["tpu_seed"]) * 1_000_003
         self._rng = np.random.default_rng(p["tpu_seed"])
         self.last_decisions: List[MatchDecision] = []
         self.nodes_since_optimize = 0
@@ -460,22 +542,46 @@ class GraphManager:
         depth,
         timestamp: float,
         ground_truth_pose: Optional[np.ndarray] = None,
+        compact=None,
     ) -> bool:
         """Process one frame; returns True if the node entered the graph.
+
+        compact: optional pre-compacted (gray8, depth16, color_small) triple
+        (compact_frame), possibly already device_put by a prefetching caller;
+        rgb/depth are ignored when given.
 
         Device-call budget per frame (the TPU-first hot path): one fused
         prepare+extract dispatch, one candidate-comparison dispatch, one
         scalar result pull, one donated commit — plus an amortized optimize.
         """
         p = self.params
+        if compact is None:
+            compact = compact_frame(rgb, depth, self.emm_stride)
+
+        new_id0 = self.n_nodes
+        # ---- fast path: whole step decided and committed on device --------
+        if (
+            new_id0 > 0
+            and p["keep_all_nodes"]
+            and self.mapping_enabled
+            and not p["use_robot_odom"]
+            and not p["use_robot_odom_only"]
+            and p["min_translation_meter"] <= 0
+            and p["min_rotation_degree"] <= 0
+        ):
+            if new_id0 >= self.n_cap:
+                raise RuntimeError("node capacity exceeded")
+            return self._add_frame_device(compact, timestamp, new_id0, new_id0 - 1)
+
         kp, depth_small, color_small = _prepare_and_extract(
             self.extractor,
             self.cam,
             self.emm_stride,
             p["minimum_depth"],
             p["maximum_depth"],
-            jnp.asarray(rgb),
-            jnp.asarray(depth),
+            jnp.asarray(compact[0]),
+            jnp.asarray(compact[1]),
+            jnp.asarray(compact[2]),
         )
 
         eye4 = np.eye(4, dtype=np.float32)
@@ -507,17 +613,6 @@ class GraphManager:
             raise RuntimeError("node capacity exceeded")
         pred_id0 = new_id - 1
         dt0 = max(timestamp - self.timestamps[pred_id0], 1e-3)
-
-        # ---- fast path: whole step decided and committed on device --------
-        if (
-            p["keep_all_nodes"]
-            and self.mapping_enabled
-            and not p["use_robot_odom"]
-            and not p["use_robot_odom_only"]
-            and p["min_translation_meter"] <= 0
-            and p["min_rotation_degree"] <= 0
-        ):
-            return self._add_frame_device(rgb, depth, timestamp, new_id, pred_id0)
 
         # ---- odometry-only mode (use_robot_odom_only, graph_mgr_odom) -----
         if p["use_robot_odom_only"]:
@@ -742,9 +837,12 @@ class GraphManager:
         return True
 
     # ------------------------------------------------------------------
-    def _add_frame_device(self, rgb, depth, timestamp, new_id, pred_id) -> bool:
+    def _add_frame_device(self, compact, timestamp, new_id, pred_id) -> bool:
         """Zero-host-round-trip step (see graph/device_step.py): dispatch one
-        donated device program; bookkeeping drains in batches."""
+        donated device program; bookkeeping drains in batches.
+
+        compact: (gray8, depth16, color_small) — see compact_frame; numpy or
+        already-device_put arrays (the pipeline prefetches them)."""
         from .device_step import slam_step
 
         p = self.params
@@ -764,18 +862,24 @@ class GraphManager:
         edge_start = self.n_edges
         if edge_start + B + 1 > self.e_cap:
             raise RuntimeError("edge capacity exceeded")
+        # All small args go in as NUMPY values: eager jnp.asarray on the host
+        # dispatches one tiny device op per argument (~1 ms each through the
+        # tunnel); jit bundles numpy args into the call instead.
+        self._seed_counter += 1
+        gray8, depth16, color_small = compact
         self.store, self.graph, summary = slam_step(
             self.store,
             self.graph,
-            jnp.asarray(rgb),
-            jnp.asarray(depth),
-            jnp.asarray(new_id, jnp.int32),
-            jnp.asarray(pred_id, jnp.int32),
-            jnp.asarray(padded, jnp.int32),
-            jnp.asarray(dup),
-            jnp.asarray(dts, jnp.float32),
-            jnp.asarray(edge_start, jnp.int32),
-            self._next_key(),
+            gray8,
+            depth16,
+            color_small,
+            np.int32(new_id),
+            np.int32(pred_id),
+            np.asarray(padded, np.int32),
+            np.asarray(dup, bool),
+            np.asarray(dts, np.float32),
+            np.int32(edge_start),
+            np.uint32(self._seed_counter),
             extractor=self.extractor,
             cam=self.cam,
             cam_small=self.cam_small,
@@ -802,17 +906,19 @@ class GraphManager:
         self.n_edges = edge_start + B + 1
         self.edge_pairs.extend([None] * (B + 1))
         self.edge_types.extend([-1] * (B + 1))
-        # Start the device->host copy of the summary NOW: the drain happens
-        # several frames later, so the transfer lands long before it's read
-        # and the drain's device_get never pays the link round-trip (on the
-        # tunnel a blocking pull costs ~40-80 ms — one RTT).
-        for leaf in summary:
-            leaf.copy_to_host_async()
+        # Start the device->host copy of the packed summary NOW: the drain
+        # happens several frames later, so the transfer lands long before
+        # it's read and the drain's device_get never pays the link
+        # round-trip (on the tunnel a blocking pull costs ~40-80 ms).
+        summary.copy_to_host_async()
         self._pending.append((new_id, list(padded), edge_start, summary))
         self.n_nodes += 1
         self.timestamps.append(timestamp)
         if len(self._pending) >= p["tpu_drain_interval"]:
-            self._drain_pending()
+            # keep the newest 2 entries pending: their device steps are still
+            # in flight, and pulling them would stall the host for the whole
+            # queue depth (~100 ms); entries 2+ frames old have landed
+            self._drain_pending(keep_newest=2)
         self.nodes_since_optimize += 1
         if self.nodes_since_optimize >= p["optimizer_skip_step"]:
             self.optimize(
@@ -822,14 +928,26 @@ class GraphManager:
             )
         return True
 
-    def _drain_pending(self):
-        """Batch-pull step summaries; update adjacency/keyframes/edge lists."""
-        if not self._pending:
+    def _drain_pending(self, keep_newest: int = 0):
+        """Batch-pull step summaries; update adjacency/keyframes/edge lists.
+
+        keep_newest > 0 leaves the most recent entries pending (their device
+        steps may still be in flight; the async copies of older entries have
+        landed, so pulling them is free). All blocking/consistency paths call
+        with keep_newest=0."""
+        if len(self._pending) <= keep_newest:
             return
-        pend = self._pending
-        self._pending = []
-        summaries = jax.device_get([s for (_, _, _, s) in pend])
-        for (new_id, padded, edge_start, _), s in zip(pend, summaries):
+        from .device_step import StepSummary
+
+        if keep_newest:
+            pend = self._pending[:-keep_newest]
+            self._pending = self._pending[-keep_newest:]
+        else:
+            pend = self._pending
+            self._pending = []
+        flats = jax.device_get([s for (_, _, _, s) in pend])
+        for (new_id, padded, edge_start, _), flat in zip(pend, flats):
+            s = StepSummary.unpack(np.asarray(flat), len(padded))
             pred_id = new_id - 1
             B = len(padded)
             accepted_ids = []
@@ -954,46 +1072,32 @@ class GraphManager:
         # pad to pow-2 buckets so recompiles stay rare
         ncap = max(32, 1 << (len(nodes) - 1).bit_length())
         ecap = max(64, 1 << (len(sub_eids) - 1).bit_length())
-        node_pad = nodes + [nodes[0]] * (ncap - len(nodes))
-        eid_pad = sub_eids + [sub_eids[0]] * (ecap - len(sub_eids))
         n_fix = [nid not in free for nid in nodes]
         if not any(n_fix):  # nothing anchors the subgraph: fix its oldest
             n_fix[0] = True
-        gi = jnp.asarray(node_pad, jnp.int32)
-        ge = jnp.asarray(eid_pad, jnp.int32)
-        sub = GraphState(
-            poses=self.graph.poses[gi],
-            node_active=jnp.asarray(
-                [True] * len(nodes) + [False] * (ncap - len(nodes))
+        # pad node slots with a FIXED node: every duplicate scatter index
+        # then writes the identical (unchanged) pose — deterministic
+        pad_node = nodes[n_fix.index(True)]
+        node_pad = nodes + [pad_node] * (ncap - len(nodes))
+        eid_pad = sub_eids + [sub_eids[0]] * (ecap - len(sub_eids))
+        graph, chi2 = _inaffected_kernel(
+            self.graph,
+            np.asarray(node_pad, np.int32),
+            np.asarray(eid_pad, np.int32),
+            np.asarray([local[self.edge_pairs[e][0]] for e in eid_pad], np.int32),
+            np.asarray([local[self.edge_pairs[e][1]] for e in eid_pad], np.int32),
+            np.asarray(n_fix + [True] * (ncap - len(nodes)), bool),
+            np.asarray([True] * len(nodes) + [False] * (ncap - len(nodes)), bool),
+            np.asarray([True] * len(sub_eids) + [False] * (ecap - len(sub_eids)), bool),
+            np.asarray(
+                [nid in free for nid in nodes] + [False] * (ncap - len(nodes)), bool
             ),
-            node_fixed=jnp.asarray(n_fix + [True] * (ncap - len(nodes))),
-            edge_i=jnp.asarray(
-                [local[self.edge_pairs[e][0]] for e in eid_pad], jnp.int32
-            ),
-            edge_j=jnp.asarray(
-                [local[self.edge_pairs[e][1]] for e in eid_pad], jnp.int32
-            ),
-            edge_meas=self.graph.edge_meas[ge],
-            edge_info=self.graph.edge_info[ge],
-            edge_active=jnp.asarray(
-                [True] * len(sub_eids) + [False] * (ecap - len(sub_eids))
-            ),
-        )
-        sub, chi2, _ = optimize(
-            sub,
             iterations=iterations,
             huber_delta=self.params["huber_delta"],
             pcg_iters=pcg_iters,
             solver="dense" if ncap <= 1024 else "pcg",
         )
-        free_local = [local[nid] for nid in nodes if nid in free]
-        free_ids = [nid for nid in nodes if nid in free]
-        if free_ids:
-            self.graph = self.graph._replace(
-                poses=self.graph.poses.at[jnp.asarray(free_ids)].set(
-                    sub.poses[jnp.asarray(free_local)]
-                )
-            )
+        self.graph = graph
         return float(chi2) if blocking else float("nan")
 
     def optimize(self, iterations: Optional[int] = None, blocking: bool = True,
@@ -1004,7 +1108,12 @@ class GraphManager:
         (concurrent_optimization, graph_manager.cpp:900-909): the host keeps
         feeding frames while the optimizer output materializes.
         """
-        self._drain_pending()
+        # Non-blocking (online) optimize runs on a snapshot: leave the 2
+        # newest frames' summaries in flight rather than stalling the host on
+        # the device queue — their edges join the next optimize (the
+        # reference's concurrent optimizer thread has the same lag,
+        # graph_manager.cpp:900-909).
+        self._drain_pending(keep_newest=0 if blocking else 2)
         p = self.params
         try:
             if (

@@ -72,12 +72,14 @@ class SlamPipeline:
         self._step_once = True
 
     # ------------------------------------------------------------------
-    def process_frame(self, rgb, depth, timestamp: float, gt_pose=None) -> bool:
+    def process_frame(self, rgb, depth, timestamp: float, gt_pose=None,
+                      compact=None) -> bool:
         if self.paused and not self._step_once:
             return False
         self._step_once = False
         t0 = time.perf_counter()
-        took = self.manager.add_frame(rgb, depth, timestamp, gt_pose)
+        took = self.manager.add_frame(rgb, depth, timestamp, gt_pose,
+                                      compact=compact)
         self.wall_time += time.perf_counter() - t0
         self.n_processed += 1
         if not took:
@@ -120,18 +122,28 @@ class SlamPipeline:
         """
         import jax
 
+        from ..graph.manager import compact_frame
+
         p = self.params
         skip0 = p["skip_first_n_frames"]
         step = max(1, p["data_skip_step"])
         idxs = list(range(skip0, len(rgbs), step))
         if not idxs:
             return
-        nxt = (jax.device_put(rgbs[idxs[0]]), jax.device_put(depths[idxs[0]]))
+        stride = self.manager.emm_stride
+
+        def put(i):
+            # compact on host (1.15 MB vs 2.15 MB raw — the tunnel's h2d
+            # bandwidth is the pipeline bottleneck), then prefetch to device
+            return tuple(
+                jax.device_put(a) for a in compact_frame(rgbs[i], depths[i], stride)
+            )
+
+        nxt = put(idxs[0])
         for k, i in enumerate(idxs):
-            rgb_d, depth_d = nxt
+            cpt = nxt
             if k + 1 < len(idxs):
-                j = idxs[k + 1]
-                nxt = (jax.device_put(rgbs[j]), jax.device_put(depths[j]))
+                nxt = put(idxs[k + 1])
             # anchor the fixed first vertex at the GT of the first frame
             # actually processed (idxs[0] may be > 0 with skip_first_n_frames)
             gt = (
@@ -139,7 +151,7 @@ class SlamPipeline:
                 if (gt_poses is not None and self.manager.n_nodes == 0)
                 else None
             )
-            self.process_frame(rgb_d, depth_d, float(stamps[i]), gt)
+            self.process_frame(None, None, float(stamps[i]), gt, compact=cpt)
 
     def run_tum(self, dataset: TumDataset, max_frames: Optional[int] = None,
                 use_native: bool = True) -> None:
@@ -189,16 +201,22 @@ class SlamPipeline:
                     loader.close()
                 return
 
+        from ..graph.manager import compact_frame
+
+        stride = self.manager.emm_stride
+
         def put(i):
             ts, rgb, depth = dataset.load(i)
-            return ts, jax.device_put(rgb), jax.device_put(depth)
+            return ts, tuple(
+                jax.device_put(a) for a in compact_frame(rgb, depth, stride)
+            )
 
         nxt = put(idxs[0])
         for k, i in enumerate(idxs):
-            ts, rgb_d, depth_d = nxt
+            ts, cpt = nxt
             if k + 1 < len(idxs):
                 nxt = put(idxs[k + 1])
-            self.process_frame(rgb_d, depth_d, ts)
+            self.process_frame(None, None, ts, compact=cpt)
 
     # ------------------------------------------------------------------
     def evaluation_protocol(
