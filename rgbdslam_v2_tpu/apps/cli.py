@@ -62,12 +62,25 @@ def cmd_run(args):
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     pipe.online_octomap_path = str(out / "map_online.ot")
-    ds = TumDataset.open(args.tum_dir)
-    pipe.run_tum(ds, max_frames=args.max_frames)
     gt_stamps = gt_xyz = None
-    if ds.groundtruth is not None:
-        gt_stamps = ds.groundtruth[:, 0].tolist()
-        gt_xyz = ds.groundtruth[:, 1:4]
+    bagfile = args.bagfile or params["bagfile_name"]
+    if args.tum_dir:
+        ds = TumDataset.open(args.tum_dir)
+        pipe.run_tum(ds, max_frames=args.max_frames)
+        if ds.groundtruth is not None:
+            gt_stamps = ds.groundtruth[:, 0].tolist()
+            gt_xyz = ds.groundtruth[:, 1:4]
+    elif bagfile:
+        pipe.run_bag(bagfile, max_frames=args.max_frames)
+        from ..io.rosbag import read_tf_trajectory
+
+        tf_stamps, tf_rows = read_tf_trajectory(bagfile)
+        if len(tf_stamps):
+            gt_stamps, gt_xyz = tf_stamps.tolist(), tf_rows[:, :3]
+    else:
+        print("error: one of --tum-dir or --bagfile is required",
+              file=sys.stderr)
+        return 2
     if args.evaluate or params["batch_processing"]:
         report = pipe.evaluation_protocol(out, gt_stamps=gt_stamps, gt_xyz=gt_xyz)
         print(json.dumps(report.as_dict(), indent=2))
@@ -100,6 +113,9 @@ def cmd_run(args):
     if args.save_individual:
         files = pipe.save_individual_clouds(out / "clouds")
         print(f"saved {len(files)} per-node clouds")
+    if args.save_bag:
+        pipe.save_bagfile(out / "result.bag")
+        print("saved result.bag")
     return 0
 
 
@@ -147,9 +163,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="rgbdslam", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    runp = sub.add_parser("run", help="run SLAM on a TUM directory")
-    runp.add_argument("--tum-dir", required=True)
+    runp = sub.add_parser("run", help="run SLAM on a TUM directory or ROS bag")
+    runp.add_argument("--tum-dir", default=None)
+    runp.add_argument("--bagfile", default=None,
+                      help="ROS bag playback input (topics via -p "
+                           "topic_image_mono/topic_image_depth)")
     runp.add_argument("--out", required=True)
+    runp.add_argument("--save-bag", action="store_true",
+                      help="record the optimized /tf trajectory into a bag")
     runp.add_argument("--camera", default="default",
                       help="fr1|fr2|default or fx,fy,cx,cy,w,h")
     runp.add_argument("--max-frames", type=int, default=None)

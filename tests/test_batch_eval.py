@@ -7,6 +7,9 @@ from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
 from rgbdslam_v2_tpu.io.synthetic import save_as_tum_dataset
 from rgbdslam_v2_tpu.pipeline.batch_eval import evaluate_sequences, plot_summary
 
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 CAM = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0, width=160, height=120)
 
 

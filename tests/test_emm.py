@@ -89,3 +89,83 @@ def test_criterion_disabled_below_zero():
     )
     assert bool(observation_criterion_met(res, 0.0))
     assert not bool(observation_criterion_met(res, 0.5))
+
+
+# ---------------------------------------------------------------------------
+# Pooled fast path vs the exact 9-sample reference semantics (misc.cpp:889-929)
+# ---------------------------------------------------------------------------
+def _flat_scene(z=2.0, w=64, h=48):
+    cam = Intrinsics(fx=50.0, fy=50.0, cx=w / 2, cy=h / 2, width=w, height=h)
+    from rgbdslam_v2_tpu.core.camera import backproject_grid
+
+    depth = jnp.full((h, w), z, jnp.float32)
+    points = backproject_grid(depth, cam)
+    valid = depth > 0
+    return cam, depth, points, valid
+
+
+def test_exact_matches_pool_on_smooth_scene():
+    from rgbdslam_v2_tpu.ops.emm import observation_likelihood_exact
+
+    cam, depth, points, valid = _flat_scene()
+    T = jnp.eye(4)
+    pool = observation_likelihood(T, points, valid, depth, cam)
+    exact = observation_likelihood_exact(T, points, valid, depth, cam)
+    assert int(pool.inliers) == int(exact.inliers)
+    assert int(pool.outliers) == int(exact.outliers) == 0
+    assert bool(observation_criterion_met(pool, 0.5))
+    assert bool(observation_criterion_met(exact, 0.5))
+
+
+def test_pool_is_permissive_superset_at_discontinuity():
+    """At a depth step edge the pooled path counts gap points as inliers
+    (z_pred inside [window_min, window_max]) where the exact search calls
+    them occluded — pool inliers must be a superset, and the exact path must
+    flag the occlusions (VERDICT weak #3: the approximation's failure mode,
+    quantified)."""
+    from rgbdslam_v2_tpu.core.camera import backproject_grid
+    from rgbdslam_v2_tpu.ops.emm import observation_likelihood_exact
+
+    w, h = 64, 48
+    cam = Intrinsics(fx=50.0, fy=50.0, cx=w / 2, cy=h / 2, width=w, height=h)
+    # old camera sees a step edge: near wall 1 m on the left, far wall 3 m
+    old_depth = jnp.where(
+        jnp.arange(w)[None, :] < w // 2, 1.0, 3.0
+    ).astype(jnp.float32) * jnp.ones((h, w), jnp.float32)
+    # new frame claims matter at 2 m everywhere: inside the [1,3] interval at
+    # the edge (pool accepts), in front of the 3 m wall elsewhere-right
+    # (outlier), behind the 1 m wall elsewhere-left (occluded)
+    new_depth = jnp.full((h, w), 2.0, jnp.float32)
+    points = backproject_grid(new_depth, cam)
+    valid = new_depth > 0
+    T = jnp.eye(4)
+    pool = observation_likelihood(T, points, valid, old_depth, cam)
+    exact = observation_likelihood_exact(T, points, valid, old_depth, cam)
+    assert int(pool.inliers) >= int(exact.inliers)
+    assert int(exact.inliers) == 0  # no sample is within gate of 2 m
+    assert int(exact.occluded) > 0  # the 1 m wall is in front
+    assert int(exact.outliers) > 0  # the 3 m wall contradicts 2 m matter
+    # pool's extra "inliers" are only the edge-window gap points
+    assert int(pool.inliers) < int(pool.all_projected) // 4
+    # both reject this transform under the criterion
+    assert not bool(observation_criterion_met(pool, 0.5))
+    assert not bool(observation_criterion_met(exact, 0.5))
+
+
+def test_exact_and_pool_agree_on_rendered_frames():
+    """On real rendered geometry (includes box edges = discontinuities) the
+    criterion decision must agree between the two paths for the true
+    transform, and inlier counts must satisfy the superset property."""
+    from rgbdslam_v2_tpu.ops.emm import observation_likelihood_exact
+
+    fa, fb, a_T_b = _two_frames()
+    pool = observation_likelihood(a_T_b, fb.points, fb.valid, fa.depth, CAM)
+    exact = observation_likelihood_exact(
+        a_T_b, fb.points, fb.valid, fa.depth, CAM
+    )
+    assert int(pool.inliers) >= int(exact.inliers)
+    # the overwhelmingly-smooth scene keeps them within a few percent
+    assert int(pool.inliers) <= int(exact.inliers) * 1.05 + 5
+    assert bool(observation_criterion_met(pool, 0.5)) == bool(
+        observation_criterion_met(exact, 0.5)
+    )

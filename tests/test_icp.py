@@ -7,6 +7,10 @@ from rgbdslam_v2_tpu.core.frames import make_frame
 from rgbdslam_v2_tpu.io import SyntheticWorld
 from rgbdslam_v2_tpu.ops.icp import grid_normals, icp_point_to_plane
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 CAM = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0, width=160, height=120)
 
 

@@ -1,3 +1,5 @@
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,3 +98,5 @@ def test_ba_inactive_observations_ignored():
     np.testing.assert_allclose(
         np.asarray(g2.landmarks), np.asarray(g.landmarks), atol=1e-5
     )
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier

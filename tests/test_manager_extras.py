@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 from rgbdslam_v2_tpu.config import ParameterServer
 from rgbdslam_v2_tpu.core import se3
 from rgbdslam_v2_tpu.core.camera import Intrinsics

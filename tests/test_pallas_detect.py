@@ -1,5 +1,4 @@
 """Pallas fused detect kernel vs the XLA reference implementation.
-
 On the CPU test backend the kernel runs in interpreter mode (slow but
 bit-faithful to the lowering semantics); the TPU path is exercised by
 bench.py and the extractor's default configuration.
@@ -7,6 +6,8 @@ bench.py and the extractor's default configuration.
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
 
 from rgbdslam_v2_tpu.ops.fast import detect_corners
 from rgbdslam_v2_tpu.ops.pallas_detect import detect_corners_pallas

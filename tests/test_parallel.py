@@ -8,6 +8,9 @@ from rgbdslam_v2_tpu.parallel import candidate_mesh, sharded_lm_iteration
 from rgbdslam_v2_tpu.parallel.sharded import sharded_optimize
 
 
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 @pytest.fixture(scope="module")
 def mesh():
     # The env's TPU plugin ignores JAX_PLATFORMS, so ask for CPU explicitly:

@@ -1,3 +1,5 @@
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -172,3 +174,5 @@ def test_frame_pair_visual_odometry():
     err = se3.relative(T_gt, res.transform)
     assert float(se3.translation_norm(err)) < 0.03
     assert float(se3.rotation_angle(err)) < 0.03
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier

@@ -4,6 +4,8 @@ store_pointclouds, pause/step, and the no-dead-parameters meta check."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 from rgbdslam_v2_tpu.config import ParameterServer
 from rgbdslam_v2_tpu.core.camera import Intrinsics
 from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence

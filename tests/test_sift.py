@@ -7,6 +7,10 @@ from rgbdslam_v2_tpu.models.sift import SiftExtractor
 from rgbdslam_v2_tpu.ops import sift as sift_ops
 from rgbdslam_v2_tpu.ops.matching import descriptor_distances, match_descriptors
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 CAM = Intrinsics(fx=260.0, fy=260.0, cx=160.0, cy=120.0, width=320, height=240)
 
 

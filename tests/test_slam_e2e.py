@@ -1,5 +1,4 @@
 """End-to-end SLAM on a synthetic sequence with exact ground truth.
-
 This is the contract test corresponding to the reference's benchmark
 protocol (TUM sequences + evaluate_ate): run the full pipeline —
 extraction, matching, RANSAC, EMM, pose graph, optimization, 5-level
@@ -7,6 +6,8 @@ evaluation — and require small ATE against exact synthetic ground truth.
 """
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
 
 from rgbdslam_v2_tpu.config import ParameterServer
 from rgbdslam_v2_tpu.core.camera import Intrinsics

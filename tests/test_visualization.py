@@ -3,6 +3,10 @@ import numpy as np
 from rgbdslam_v2_tpu.io.visualization import draw_feature_flow, export_graph_ply
 
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
 def test_draw_feature_flow_marks_pixels():
     rgb = np.zeros((60, 80, 3), np.uint8)
     uv_now = np.asarray([[40.0, 30.0], [10.0, 10.0]])

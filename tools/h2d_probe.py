@@ -1,0 +1,95 @@
+"""Probe tunnel h2d characteristics: per-transfer overhead vs bandwidth.
+
+Questions:
+1. Do 3 separate device_puts (gray/depth/color) pay 3x a fixed per-call
+   overhead that one packed buffer would pay once?
+2. What does a 12-bit depth packing save end-to-end (h2d win vs on-device
+   unpack cost)?
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import rgbdslam_v2_tpu
+
+rgbdslam_v2_tpu.enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 480, 640
+gray = np.random.randint(0, 255, (H, W), np.uint8)
+depth = np.random.randint(0, 40000, (H, W), np.uint16)
+color = np.random.randint(0, 255, (H // 2, W // 2, 3), np.uint8)
+packed = np.concatenate([gray.reshape(-1), depth.view(np.uint8).reshape(-1),
+                         color.reshape(-1)])
+print(f"sizes: gray {gray.nbytes}, depth {depth.nbytes}, color {color.nbytes},"
+      f" packed {packed.nbytes}", file=sys.stderr)
+
+
+def timeit(fn, n=20, warm=3):
+    for _ in range(warm):
+        r = fn()
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+t3 = timeit(lambda: [jax.device_put(gray), jax.device_put(depth),
+                     jax.device_put(color)])
+t1 = timeit(lambda: jax.device_put(packed))
+print(f"3 puts: {t3:.2f} ms   1 packed put: {t1:.2f} ms")
+
+# per-call overhead estimate: tiny puts
+tiny = np.zeros(64, np.uint8)
+t_tiny = timeit(lambda: jax.device_put(tiny))
+print(f"tiny put (64B): {t_tiny:.2f} ms")
+
+# bandwidth curve
+for mb in (0.25, 0.5, 1.0, 2.0):
+    buf = np.random.randint(0, 255, (int(mb * 1e6),), np.uint8)
+    t = timeit(lambda: jax.device_put(buf), n=10)
+    print(f"{mb:.2f} MB: {t:.2f} ms -> {mb/t*1e3:.1f} MB/s")
+
+# 12-bit depth: pack 2 u16 (<=4095) into 3 bytes on host, unpack on device
+d12 = (depth.astype(np.uint32) // 10).clip(0, 4095).astype(np.uint16)  # 2.5mm units @1/4000
+
+
+def pack12(d):
+    a = d.reshape(-1, 2)
+    lo, hi = a[:, 0].astype(np.uint32), a[:, 1].astype(np.uint32)
+    out = np.empty((a.shape[0], 3), np.uint8)
+    out[:, 0] = lo & 0xFF
+    out[:, 1] = ((lo >> 8) & 0x0F) | ((hi & 0x0F) << 4)
+    out[:, 2] = hi >> 4
+    return out.reshape(-1)
+
+
+p12 = pack12(d12)
+print(f"12-bit depth: {p12.nbytes} bytes (vs {depth.nbytes})", file=sys.stderr)
+
+
+@jax.jit
+def unpack12(b):
+    b = b.reshape(-1, 3).astype(jnp.uint32)
+    lo = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
+    hi = (b[:, 1] >> 4) | (b[:, 2] << 4)
+    return jnp.stack([lo, hi], -1).reshape(H, W).astype(jnp.float32) * (10.0 / 4000.0)
+
+
+t_pack_host = timeit(lambda: pack12(d12), n=10)
+
+
+def put_unpack():
+    return unpack12(jax.device_put(p12))
+
+
+t12 = timeit(put_unpack, n=10)
+print(f"12-bit path: host pack {t_pack_host:.2f} ms + put+unpack {t12:.2f} ms")
+np.testing.assert_allclose(
+    np.asarray(unpack12(jax.device_put(p12))).reshape(-1)[:100],
+    d12.reshape(-1)[:100] * (10.0 / 4000.0), atol=1e-6)
+print("unpack correct")
