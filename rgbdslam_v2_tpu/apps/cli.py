@@ -139,6 +139,53 @@ def cmd_synthetic(args):
     return 0
 
 
+def cmd_view(args):
+    """Offline 3D views of a saved result (the GL-viewer capability,
+    reference src/glviewer.cpp, rendered headless — io/render3d.py)."""
+    from ..io.pointcloud import read_pcd
+    from ..io.render3d import render_orbit_views
+    from ..io.tum import read_trajectory_file
+
+    root = Path(args.result_dir)
+    cloud = root / "cloud.pcd"
+    if not cloud.exists():
+        print(f"rgbdslam: error: {cloud} not found (run with --save-clouds)",
+              file=sys.stderr)
+        return 2
+    points, colors = read_pcd(cloud)
+    traj = edges = None
+    for name in ("estimate_iteration_4.txt", "estimate.txt"):
+        if (root / name).exists():
+            data = read_trajectory_file(root / name)
+            n = len(data)
+            traj = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+            traj[:, :3, 3] = data[:, 1:4]
+            # numpy quaternion->rotation: keep `view` off the accelerator
+            # (a jitted quat_to_rot would pay a device compile for nothing)
+            x, y, z, w = (data[:, 4 + i] for i in range(4))
+            traj[:, 0, 0] = 1 - 2 * (y * y + z * z)
+            traj[:, 0, 1] = 2 * (x * y - z * w)
+            traj[:, 0, 2] = 2 * (x * z + y * w)
+            traj[:, 1, 0] = 2 * (x * y + z * w)
+            traj[:, 1, 1] = 1 - 2 * (x * x + z * z)
+            traj[:, 1, 2] = 2 * (y * z - x * w)
+            traj[:, 2, 0] = 2 * (x * z - y * w)
+            traj[:, 2, 1] = 2 * (y * z + x * w)
+            traj[:, 2, 2] = 1 - 2 * (x * x + y * y)
+            break
+    if (root / "graph.g2o").exists():
+        from ..graph.g2o_io import read_g2o
+
+        _poses, _fixed, g2o_edges = read_g2o(root / "graph.g2o")
+        edges = [(int(i), int(j)) for (i, j, _m, _inf) in g2o_edges]
+    w, h = (int(x) for x in args.size.split("x"))
+    out = Path(args.out) if args.out else root / "views"
+    paths = render_orbit_views(points, colors, out, traj=traj, edges=edges,
+                               n_views=args.views, size=(w, h))
+    print(json.dumps({"views": paths}))
+    return 0
+
+
 def cmd_ate(args):
     from ..eval import evaluate_ate
     from ..io.tum import read_trajectory_file
@@ -204,6 +251,17 @@ def main(argv=None):
 
     parp = sub.add_parser("params", help="list parameters")
     parp.set_defaults(fn=cmd_params)
+
+    viewp = sub.add_parser(
+        "view", help="render a result dir (cloud + trajectory + edges) to PNGs"
+    )
+    viewp.add_argument("result_dir",
+                       help="directory with cloud.pcd / estimate*.txt / graph.g2o")
+    viewp.add_argument("--out", default=None,
+                       help="output dir (default: <result_dir>/views)")
+    viewp.add_argument("--views", type=int, default=6)
+    viewp.add_argument("--size", default="960x720")
+    viewp.set_defaults(fn=cmd_view)
 
     args = ap.parse_args(argv)
     try:

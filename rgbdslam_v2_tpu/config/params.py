@@ -44,6 +44,9 @@ PARAM_DEFS = [
     # the fixed top-K keypoint budget (max_keypoints) subsumes it here.
     _p("min_matches", 20, "matches below this -> edge rejected"),
     _p("data_skip_step", 1, "process every n-th frame"),
+    _p("start_paused", False,
+       "start with processing paused; unpause via SlamPipeline.toggle_pause "
+       "or step single frames with get_one_frame"),
     _p("bagfile_name", "", "read input from a ROS bag file (playback input)"),
     _p("topic_image_mono", "/camera/rgb/image_color", "bag topic: color image"),
     _p("topic_image_depth", "/camera/depth/image", "bag topic: depth image"),
@@ -52,6 +55,9 @@ PARAM_DEFS = [
     _p("maximum_depth", 10.0, "depth clip (m)"),
     _p("minimum_depth", 0.1, "depth clip (m)"),
     _p("sigma_depth", 0.01, "depth noise: stddev = sigma_depth * z^2"),
+    _p("use_feature_min_depth", False,
+       "feature depth = 3x3 neighborhood minimum instead of the center pixel "
+       "(biases depth low under noise; off by default like the reference)"),
     # ---- pairwise registration ----
     _p("ransac_iterations", 200, "RANSAC hypothesis count (batched on TPU)"),
     _p("sample_candidates", 4, "correspondences per RANSAC hypothesis"),
@@ -59,7 +65,10 @@ PARAM_DEFS = [
     _p("refine_iterations", 4, "post-RANSAC weighted refit rounds"),
     _p("min_sampled_candidates", 4, "min graph-neighbor candidates sampled"),
     _p("observability_threshold", 0.0, "EMM: required inlier fraction; <=0 disables"),
-    _p("emm_skip_step", 2, "EMM subsampling stride over pixels"),
+    _p("emm_skip_step", 8,
+       "EMM subsampling stride over the (already cloud-strided) depth grid "
+       "(reference emm__skip_step default 8, parameter_server.cpp:112 — "
+       "effective stride 16 at cloud_creation_skip_step=2)"),
     _p("use_icp", False, "GICP refinement fallback"),
     _p("icp_max_iterations", 20, "GICP Gauss-Newton rounds"),
     _p("g2o_transformation_refinement", 0, "extra least-squares pose refinement rounds"),

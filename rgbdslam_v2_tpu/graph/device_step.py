@@ -78,6 +78,7 @@ class StepSummary(NamedTuple):
         "max_rotation_deg_per_s",
         "const_pos_information",
         "keep_all",
+        "use_feature_min_depth",
     ),
     donate_argnums=(0, 1),
 )
@@ -115,12 +116,14 @@ def slam_step(
     max_rotation_deg_per_s: float = 1e10,
     const_pos_information: float = 1e-3,
     keep_all: bool = True,
+    use_feature_min_depth: bool = False,
 ):
     from .manager import _prepare_and_extract
 
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     kp, depth_small, color_small = _prepare_and_extract(
-        extractor, cam, stride, min_depth, max_depth, gray8, depth16, color_small
+        extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
+        gray8, depth16, color_small
     )
     res = compare_to_candidates(
         kp,

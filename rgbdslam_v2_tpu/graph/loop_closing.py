@@ -61,6 +61,40 @@ def global_match_scores(
     return counts
 
 
+@functools.partial(jax.jit, static_argnames=("ratio", "exclude_window"))
+def global_match_scores_from_store(
+    store: NodeStore,
+    query_id: jnp.ndarray,  # () int32 — node whose descriptors are the query
+    n_nodes: jnp.ndarray,  # () int32
+    ratio: float = 0.8,
+    exclude_window: int = 8,
+) -> jnp.ndarray:
+    """global_match_scores with the query gathered FROM the store: lets the
+    pipelined path retrieve loop candidates for node i entirely on device
+    right after i's commit (one dispatch, async-pulled, consumed as extra
+    candidates at frame i+1 — the zero-sync deferred-retrieval design).
+
+    Nodes within ``exclude_window`` of the query are masked out: they are
+    sequential neighbors, not loop closures (and would be classified
+    EDGE_SEQUENTIAL anyway)."""
+    N = store.capacity
+    ids = jnp.arange(N, dtype=jnp.int32)
+    active = ids < n_nodes
+    excl = jnp.abs(ids - query_id) <= exclude_window
+    q_desc = store.desc[query_id]  # dtype already matches the store's family
+    q_valid = store.kp_valid[query_id]
+    kp_like = Keypoints(
+        uv=store.uv[query_id],
+        xyz=store.xyz[query_id],
+        score=jnp.zeros(q_valid.shape, jnp.float32),
+        theta=jnp.zeros(q_valid.shape, jnp.float32),
+        desc=q_desc,
+        valid=q_valid,
+        level=jnp.zeros(q_valid.shape, jnp.int32),
+    )
+    return global_match_scores(kp_like, store, active, excl, ratio)
+
+
 def retrieve_loop_candidates(
     kp: Keypoints,
     store: NodeStore,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import Dict, List, Optional, Set
 
 import jax
@@ -32,11 +33,13 @@ from ..config import ParameterServer, default_params
 from ..core import se3
 from ..core.camera import Intrinsics
 from ..core.frames import Frame
-from ..models.orb import OrbExtractor, min_depth_map
+from ..models.orb import OrbExtractor
 from ..models.types import Keypoints
 from ..optim.pose_graph import GraphState, edge_chi2, make_graph_state, optimize
 from .compare import CompareResult, compare_to_candidates
 from .node_store import NodeStore
+
+logger = logging.getLogger("rgbdslam.graph")
 
 EDGE_SEQUENTIAL = 0
 EDGE_LOOP = 1
@@ -59,10 +62,15 @@ def compact_frame(rgb, depth, stride: int):
     rgb = np.asarray(rgb)
     depth = np.asarray(depth)
     if rgb.ndim == 3:
-        r16 = rgb.astype(np.uint16)
-        gray8 = ((r16[..., 0] * 77 + r16[..., 1] * 150 + r16[..., 2] * 29) >> 8).astype(
-            np.uint8
-        )
+        try:  # cv2's SIMD cvtColor is ~20x the numpy reduction (14 -> 0.7 ms)
+            import cv2
+
+            gray8 = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+        except Exception:
+            r16 = rgb.astype(np.uint16)
+            gray8 = (
+                (r16[..., 0] * 77 + r16[..., 1] * 150 + r16[..., 2] * 29) >> 8
+            ).astype(np.uint8)
         color_small = np.ascontiguousarray(rgb[::stride, ::stride])
     else:
         gray8 = (
@@ -82,21 +90,23 @@ def compact_frame(rgb, depth, stride: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("extractor", "cam", "stride", "min_depth", "max_depth"),
+    static_argnames=("extractor", "cam", "stride", "min_depth", "max_depth",
+                     "use_feature_min_depth"),
 )
 def _prepare_and_extract(
-    extractor, cam, stride, min_depth, max_depth, gray8, depth16, color_small
+    extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
+    gray8, depth16, color_small
 ):
     """Fused per-frame device prep on the COMPACT ingest format: u8 gray ->
-    f32, u16 depth -> meters + masking, 3x3 min depth, keypoint extraction
-    — ONE dispatch (color arrives pre-strided from the host)."""
-    from ..models.orb import min_depth_map
+    f32, u16 depth -> meters + masking, feature depth plane, keypoint
+    extraction — ONE dispatch (color arrives pre-strided from the host)."""
+    from ..models.orb import feature_depth_map
 
     depth = depth16.astype(jnp.float32) * jnp.float32(1.0 / DEPTH_SCALE)
     valid = (depth > min_depth) & (depth < max_depth)
     depth = jnp.where(valid, depth, 0.0)
     gray = gray8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-    kp = extractor(gray, min_depth_map(depth, valid), cam)
+    kp = extractor(gray, feature_depth_map(depth, valid, use_feature_min_depth), cam)
     return kp, depth[::stride, ::stride], color_small
 
 
@@ -292,10 +302,21 @@ class GraphManager:
                 use_root_sift=p["squareroot_descriptor_space"],
             )
         else:
+            known = ("ORB", "FAST", "BRIEF")
+            for f in family:
+                if f not in known:
+                    # the reference warns + falls back to ORB for unbuilt
+                    # families (SURF/BRISK/FREAK; features.cpp:144-160)
+                    logger.warning(
+                        "feature family %s not built; falling back to ORB "
+                        "(reference behavior, features.cpp:144-160)", f
+                    )
             self.extractor = OrbExtractor(
                 max_keypoints=self.k_cap,
                 fast_threshold=0.06,
                 grid=p["detector_grid_resolution"] + 1,
+                # 'BRIEF' extractor = un-steered binary tests
+                oriented=family[1] != "BRIEF",
             )
         desc_dim = 128 if "Sift" in type(self.extractor).__name__ else 256
         if "Sift" in type(self.extractor).__name__:
@@ -352,6 +373,7 @@ class GraphManager:
         )
         # fast-path (device-decided) bookkeeping
         self._pending = []  # (new_id, padded_cand_ids, summary)
+        self._retrieval_scores = None  # deferred appearance retrieval (id, counts)
         self._edge_cursor = 0  # slot allocator (fast path pre-allocates B+1)
 
     # ------------------------------------------------------------------
@@ -365,7 +387,14 @@ class GraphManager:
         return k
 
     def extract(self, frame: Frame) -> Keypoints:
-        return self._jit_extract(frame.gray, min_depth_map(frame.depth, frame.valid))
+        from ..models.orb import feature_depth_map
+
+        return self._jit_extract(
+            frame.gray,
+            feature_depth_map(
+                frame.depth, frame.valid, self.params["use_feature_min_depth"]
+            ),
+        )
 
     # ------------------------------------------------------------------
     def select_candidates(self, new_id: int, kp: Optional[Keypoints] = None) -> List[int]:
@@ -413,6 +442,21 @@ class GraphManager:
                 top_n=min(n_global, B - len(out)),
             )
             out.extend(h for h in hits if h not in out)
+        elif n_global > 0 and kp is None and len(out) < B \
+                and self._retrieval_scores is not None:
+            # pipelined path: consume the deferred on-device retrieval
+            # dispatched after the PREVIOUS frame's commit (its async copy
+            # has landed — no sync; adjacent frames see the same scene, so
+            # the one-frame-lagged scores remain valid loop hypotheses)
+            _qid, counts_dev = self._retrieval_scores
+            counts = np.asarray(counts_dev)
+            order = np.argsort(-counts)
+            for i in order[: n_global + len(out)]:
+                i = int(i)
+                if counts[i] >= 10 and i not in out and i != new_id:
+                    out.append(i)
+                if len(out) >= B:
+                    break
 
         # random keyframe sampling (loop-closure discovery)
         kf_pool = [k for k in self.keyframes if k not in out and k != new_id]
@@ -579,6 +623,7 @@ class GraphManager:
             self.emm_stride,
             p["minimum_depth"],
             p["maximum_depth"],
+            p["use_feature_min_depth"],
             jnp.asarray(compact[0]),
             jnp.asarray(compact[1]),
             jnp.asarray(compact[2]),
@@ -901,6 +946,7 @@ class GraphManager:
             max_rotation_deg_per_s=p["max_rotation_degree"],
             const_pos_information=p["constant_position_information"],
             keep_all=True,
+            use_feature_min_depth=p["use_feature_min_depth"],
         )
         # Reserve the B+1 slots; host lists fill at drain time.
         self.n_edges = edge_start + B + 1
@@ -914,6 +960,17 @@ class GraphManager:
         self._pending.append((new_id, list(padded), edge_start, summary))
         self.n_nodes += 1
         self.timestamps.append(timestamp)
+        if p["global_loop_candidates"] > 0 and new_id >= 8:
+            # deferred appearance retrieval: the store now holds this frame's
+            # descriptors; score all nodes on device and async-pull — the
+            # result feeds the NEXT frame's candidate selection (zero sync)
+            from .loop_closing import global_match_scores_from_store
+
+            counts = global_match_scores_from_store(
+                self.store, np.int32(new_id), np.int32(self.n_nodes)
+            )
+            counts.copy_to_host_async()
+            self._retrieval_scores = (new_id, counts)
         if len(self._pending) >= p["tpu_drain_interval"]:
             # keep the newest 2 entries pending: their device steps are still
             # in flight, and pulling them would stall the host for the whole

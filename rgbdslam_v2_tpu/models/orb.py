@@ -38,6 +38,10 @@ class OrbExtractor:
     grid: int = 4
     use_harris: bool = True
     require_depth: bool = True
+    # oriented=False -> plain BRIEF descriptors (the reference's 'BRIEF'
+    # extractor family, features.cpp:115-161): no rotation invariance,
+    # cheaper matching for small-rotation rigs.
+    oriented: bool = True
     # Fused Pallas detect kernel: exact match to the XLA path and ~3x faster
     # in isolation, but the custom-call boundary breaks XLA's cross-level
     # fusion inside the full extractor program (measured net slower end to
@@ -93,7 +97,7 @@ class OrbExtractor:
             # gathers (ops/orb.py describe_patches).
             blur_l = orb_ops.gaussian_blur(img_l, 2.0)
             patches = orb_ops.extract_patches(blur_l, uv)
-            theta_l, desc_l = orb_ops.describe_patches(patches)
+            theta_l, desc_l = orb_ops.describe_patches(patches, self.oriented)
             scale = self.scale_factor**l
             all_uv.append(uv * scale)
             all_score.append(sc)
@@ -151,3 +155,20 @@ def min_depth_map(depth: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return -jax.lax.reduce_window(
         -d, -jnp.inf, jax.lax.max, (3, 3), (1, 1), [(1, 1), (1, 1)]
     )
+
+
+def feature_depth_map(
+    depth: jnp.ndarray, valid: jnp.ndarray, use_min: bool
+) -> jnp.ndarray:
+    """Depth plane sampled at keypoints (+inf where unusable).
+
+    use_min=False (the reference's default, use_feature_min_depth
+    parameter_server.cpp:90, node.cpp:940-944): the CENTER pixel's depth.
+    The min-pool variant biases feature depth low under sensor noise
+    (min of 9 noisy samples ~ -1.5 sigma(z)), which shrinks every pairwise
+    translation and shows up as a global trajectory scale error — so, like
+    the reference, it is opt-in for dynamic scenes where the nearest
+    surface dominates motion."""
+    if use_min:
+        return min_depth_map(depth, valid)
+    return jnp.where(valid, depth, jnp.inf)

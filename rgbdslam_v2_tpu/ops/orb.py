@@ -176,12 +176,17 @@ def extract_patches(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def describe_patches(patches: jnp.ndarray):
-    """(K, 32, 32) blurred patches -> (theta (K,), desc (K, 256) int8 +/-1)."""
+def describe_patches(patches: jnp.ndarray, oriented: bool = True):
+    """(K, 32, 32) blurred patches -> (theta (K,), desc (K, 256) int8 +/-1).
+
+    oriented=False gives plain BRIEF (features.cpp:115-161 extractor family
+    'BRIEF'): the un-rotated bin-0 test pattern, theta reported as 0."""
     K = patches.shape[0]
     flat = patches.reshape(K, PATCH * PATCH)
     m = flat @ jnp.asarray(MOMENT_XY)  # (K, 2) = [m10, m01]
     theta = jnp.arctan2(m[:, 1], m[:, 0])
+    if not oriented:
+        theta = jnp.zeros_like(theta)
     step = 2.0 * np.pi / N_ORIENT_BINS
     bins = jnp.mod(jnp.round(theta / step).astype(jnp.int32), N_ORIENT_BINS)
     vals = (flat @ jnp.asarray(BRIEF_BINS)).reshape(K, N_ORIENT_BINS, DESC_BITS)

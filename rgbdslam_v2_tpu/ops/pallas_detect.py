@@ -153,7 +153,7 @@ def detect_corners_pallas(
             n_rows_total=H,
         ),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((TILE, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, W), jnp.float32),
         scratch_shapes=[

@@ -23,7 +23,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.camera import Intrinsics
-from ..models.orb import min_depth_map
+from ..models.orb import feature_depth_map
 from ..ops.matching import match_descriptors
 from ..ops.registration import ransac_register
 
@@ -42,7 +42,7 @@ def _vo_one_sequence(
     """Sequential VO over one (T, H, W) sequence via lax.scan."""
 
     def extract(gray, depth, valid):
-        return extractor(gray, min_depth_map(depth, valid), cam)
+        return extractor(gray, feature_depth_map(depth, valid, False), cam)
 
     kp0 = extract(grays[0], depths[0], valids[0])
 

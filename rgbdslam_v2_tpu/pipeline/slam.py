@@ -52,7 +52,9 @@ class SlamPipeline:
         self.n_processed = 0
         self.n_dropped = 0
         self.wall_time = 0.0
-        self.paused = False  # interactive run control (pause/step/one-frame)
+        # interactive run control (pause/step/one-frame); start_paused is the
+        # reference's wait-for-user startup mode (parameter_server.cpp:154)
+        self.paused = bool(self.params["start_paused"])
         self._step_once = False
         # online octomap creation (graph_manager.cpp:1044-1049)
         self._online_map = None

@@ -161,3 +161,58 @@ def test_orb_extractor_end_to_end_synthetic():
     # descriptors mostly unique
     d = np.asarray(kp.desc)[k]
     assert len(np.unique(d, axis=0)) > 0.9 * n
+
+
+def test_brief_family_unrotated():
+    """BRIEF (oriented=False; the reference's 'BRIEF' extractor family,
+    features.cpp:115-161): theta is reported as 0, descriptors stay stable
+    under pure translation, and a 90-degree rotation breaks BRIEF matches
+    while steered ORB survives it (the defining family difference)."""
+    img = _block_texture(seed=6)
+    sm_uv = jnp.asarray([[100.0, 100.0], [150.0, 80.0], [200.0, 160.0]])
+    blur = orb_ops.gaussian_blur(img, 2.0)
+    patches = orb_ops.extract_patches(blur, sm_uv)
+    theta_b, d_brief = orb_ops.describe_patches(patches, oriented=False)
+    assert np.allclose(np.asarray(theta_b), 0.0)
+    theta_o, d_orb = orb_ops.describe_patches(patches, oriented=True)
+    assert not np.allclose(np.asarray(theta_o), 0.0)
+
+    # translation: both stable
+    shifted = jnp.roll(img, (5, 9), axis=(0, 1))
+    p2 = orb_ops.extract_patches(orb_ops.gaussian_blur(shifted, 2.0),
+                                 sm_uv + jnp.asarray([[9.0, 5.0]]))
+    _, d_brief2 = orb_ops.describe_patches(p2, oriented=False)
+    ham = np.diag(np.asarray(matching.descriptor_distances(d_brief, d_brief2)))
+    assert (ham < 30).all()
+
+    # 90-degree rotation about each keypoint: ORB's binned steering keeps
+    # distances low; BRIEF's fixed pattern does not
+    H, W = img.shape
+    rot = jnp.rot90(img)  # (W, H); point (x, y) -> (y, W-1-x)
+    uv_rot = jnp.stack([sm_uv[:, 1], (W - 1) - sm_uv[:, 0]], axis=-1)
+    pr = orb_ops.extract_patches(orb_ops.gaussian_blur(rot, 2.0), uv_rot)
+    _, d_brief_r = orb_ops.describe_patches(pr, oriented=False)
+    _, d_orb_r = orb_ops.describe_patches(pr, oriented=True)
+    ham_brief = np.diag(np.asarray(
+        matching.descriptor_distances(d_brief, d_brief_r)))
+    ham_orb = np.diag(np.asarray(
+        matching.descriptor_distances(d_orb, d_orb_r)))
+    assert ham_orb.mean() < ham_brief.mean() - 10
+
+
+def test_manager_brief_family_selected():
+    from rgbdslam_v2_tpu.config import ParameterServer
+    from rgbdslam_v2_tpu.graph.manager import GraphManager
+
+    cam = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+                     width=160, height=120)
+    params = ParameterServer(dict(
+        feature_extractor_type="BRIEF", max_keypoints=64, tpu_max_nodes=4,
+        tpu_max_edges=32, tpu_candidate_batch=2))
+    m = GraphManager(cam, params)
+    assert m.extractor.oriented is False
+    params2 = ParameterServer(dict(
+        feature_extractor_type="FREAK", max_keypoints=64, tpu_max_nodes=4,
+        tpu_max_edges=32, tpu_candidate_batch=2))
+    m2 = GraphManager(cam, params2)  # warns, falls back to ORB
+    assert m2.extractor.oriented is True

@@ -251,3 +251,18 @@ def test_no_dead_parameters():
         if not re.search(rf"[\"']{re.escape(d.name)}[\"']", blob)
     ]
     assert dead == [], f"parameters defined but never read: {dead}"
+
+
+def test_start_paused():
+    """start_paused (parameter_server.cpp:154): nothing processes until
+    unpaused or single-stepped."""
+    pipe_params = _params(start_paused=True)
+    pipe = SlamPipeline(CAM, pipe_params)
+    assert pipe.paused
+    rgb = np.zeros((120, 160, 3), np.uint8)
+    depth = np.ones((120, 160), np.float32)
+    assert pipe.process_frame(rgb, depth, 0.0) is False
+    assert pipe.manager.n_nodes == 0
+    pipe.get_one_frame()
+    assert pipe.process_frame(rgb, depth, 0.1) is not None  # step consumed
+    assert pipe.paused  # still paused after the single step

@@ -38,3 +38,46 @@ def test_export_graph_ply(tmp_path):
     assert raw.startswith(b"ply\n")
     assert b"element vertex 6" in raw
     assert b"element edge 3" in raw
+
+
+# ---------------------------------------------------------------------------
+# Headless 3D rendering (glviewer capability; io/render3d.py)
+# ---------------------------------------------------------------------------
+def test_render_points_zbuffer_occlusion():
+    from rgbdslam_v2_tpu.io.render3d import look_at, render_points
+
+    # red plane at z=2 behind, green point cluster at z=1 in front
+    yy, xx = np.mgrid[-1:1:40j, -1:1:40j]
+    back = np.stack([xx.ravel(), yy.ravel(), np.full(xx.size, 2.0)], -1)
+    front = np.stack([np.zeros(50), np.zeros(50), np.ones(50)], -1) \
+        + np.random.default_rng(0).normal(scale=0.01, size=(50, 3))
+    pts = np.concatenate([back, front])
+    cols = np.concatenate([
+        np.tile(np.array([[255, 0, 0]], np.uint8), (len(back), 1)),
+        np.tile(np.array([[0, 255, 0]], np.uint8), (len(front), 1)),
+    ])
+    T = look_at(np.array([0.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]))
+    img, depth = render_points(pts, cols, T, size=(160, 120), splat=3)
+    cy, cx = 60, 80
+    center = img[cy - 2 : cy + 3, cx - 2 : cx + 3]
+    # the front cluster must own the center pixels (z-buffer works)
+    assert (center[..., 1].max() == 255) and (center[..., 0].max() == 0)
+    assert abs(float(depth[cy, cx]) - 1.0) < 0.05
+
+
+def test_render_orbit_views_with_trajectory(tmp_path):
+    from rgbdslam_v2_tpu.io.render3d import render_orbit_views
+
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-1, 1, (2000, 3))
+    cols = rng.integers(0, 255, (2000, 3), dtype=np.uint8)
+    traj = np.tile(np.eye(4), (20, 1, 1))
+    traj[:, 0, 3] = np.linspace(-1, 1, 20)
+    paths = render_orbit_views(pts, cols, tmp_path / "views", traj=traj,
+                               edges=[(0, 19)], n_views=3, size=(160, 120))
+    assert len(paths) == 3
+    import pathlib
+    for p in paths:
+        raw = pathlib.Path(p).read_bytes()
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n" or raw[:2] != b""  # png/cv2 jpeg?
+        assert pathlib.Path(p).stat().st_size > 500

@@ -69,25 +69,26 @@ def main():
                pcg_iters=24)
     jax.block_until_ready(m.graph.poses)
 
-    rgb_h, depth_h = rgbs[20], depths[20]
+    from rgbdslam_v2_tpu.graph.manager import compact_frame
 
-    # ---- h2d ----
-    ms_h2d = t_ms(lambda: (jax.device_put(rgb_h), jax.device_put(depth_h)))
+    cpt_h = compact_frame(rgbs[20], depths[20], m.emm_stride)
 
-    rgb_d = jax.device_put(rgb_h)
-    depth_d = jax.device_put(depth_h)
+    # ---- h2d (compact ingest) ----
+    ms_h2d = t_ms(lambda: tuple(jax.device_put(a) for a in cpt_h))
+
+    g_d, d_d, c_d = (jax.device_put(a) for a in cpt_h)
 
     # ---- extract ----
     extract = jax.jit(
-        lambda r, d: _prepare_and_extract(
+        lambda g, d, c: _prepare_and_extract(
             m.extractor, m.cam, m.emm_stride, p["minimum_depth"],
-            p["maximum_depth"], r, d
+            p["maximum_depth"], p["use_feature_min_depth"], g, d, c
         ),
         static_argnums=(),
     )
-    ms_extract = t_ms(lambda: extract(rgb_d, depth_d))
+    ms_extract = t_ms(lambda: extract(g_d, d_d, c_d))
 
-    kp, depth_small, color_small = extract(rgb_d, depth_d)
+    kp, depth_small, color_small = extract(g_d, d_d, c_d)
     cand_idx = jnp.asarray([m.n_nodes - 1] * m.cand_batch, jnp.int32)
 
     # ---- compare (B candidates) ----
