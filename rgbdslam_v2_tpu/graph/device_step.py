@@ -85,9 +85,7 @@ class StepSummary(NamedTuple):
 def slam_step(
     store: NodeStore,
     graph: GraphState,
-    gray8,  # (H, W) uint8 — compact ingest (see manager.compact_frame)
-    depth16,  # (H, W) uint16 — TUM 1/5000 quantization
-    color_small,  # (h, w, 3) uint8 — pre-strided on host
+    packed,  # (N,) uint8 — ONE packed ingest buffer (manager.compact_frame)
     new_id,  # () int32
     pred_id,  # () int32
     cand_idx,  # (B,) int32
@@ -123,7 +121,7 @@ def slam_step(
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     kp, depth_small, color_small = _prepare_and_extract(
         extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-        gray8, depth16, color_small
+        packed
     )
     res = compare_to_candidates(
         kp,

@@ -52,13 +52,15 @@ DEPTH_SCALE = 5000.0  # TUM PNG quantization: depth_meters = png_u16 / 5000
 
 def compact_frame(rgb, depth, stride: int):
     """Host-side ingest compaction: (rgb u8 HxWx3, depth f32|u16 HxW) ->
-    (gray u8 HxW, depth u16 HxW, color u8 (H/s)x(W/s)x3) numpy arrays.
+    ONE packed uint8 buffer [gray u8 HxW | depth u16-le HxW | color u8
+    (H/s)x(W/s)x3].
 
-    The tunnel's sustained host->device bandwidth (~50 MB/s) makes the
-    2.1 MB raw frame the pipeline bottleneck; the compact form is 1.15 MB
-    (gray for features — the reference converts to grayscale anyway,
-    node.cpp:101-240 — u16 depth at TUM's own 1/5000 quantization, and
-    color already at the cloud stride)."""
+    One buffer means ONE device_put per frame — each transfer through the
+    tunnel pays a fixed round-trip, so 3 puts cost ~3x the latency of 1.
+    The compact form is 1.15 MB vs 2.1 MB raw (gray for features — the
+    reference converts to grayscale anyway, node.cpp:101-240 — u16 depth at
+    TUM's own 1/5000 quantization, color already at the cloud stride);
+    _unpack_compact slices it apart on device inside the step program."""
     rgb = np.asarray(rgb)
     depth = np.asarray(depth)
     if rgb.ndim == 3:
@@ -85,7 +87,28 @@ def compact_frame(rgb, depth, stride: int):
     else:
         d = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
         d16 = np.clip(d * DEPTH_SCALE, 0, 65535).astype(np.uint16)
-    return gray8, d16, color_small
+    return np.concatenate([
+        gray8.reshape(-1),
+        np.ascontiguousarray(d16).view(np.uint8).reshape(-1),
+        color_small.reshape(-1),
+    ])
+
+
+def _unpack_compact(packed, H: int, W: int, stride: int):
+    """Device-side inverse of compact_frame: packed u8 -> (gray u8 (H,W),
+    depth u16 (H,W), color u8 (h,w,3)). Pure slicing/bitcast — fuses into
+    the consuming program for free."""
+    n_gray = H * W
+    n_depth = 2 * H * W
+    h = (H + stride - 1) // stride
+    w = (W + stride - 1) // stride
+    gray8 = packed[:n_gray].reshape(H, W)
+    d8 = packed[n_gray : n_gray + n_depth].reshape(H * W, 2)
+    depth16 = jax.lax.bitcast_convert_type(d8, jnp.uint16).reshape(H, W)
+    color = packed[n_gray + n_depth : n_gray + n_depth + h * w * 3].reshape(
+        h, w, 3
+    )
+    return gray8, depth16, color
 
 
 @functools.partial(
@@ -95,13 +118,16 @@ def compact_frame(rgb, depth, stride: int):
 )
 def _prepare_and_extract(
     extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-    gray8, depth16, color_small
+    packed
 ):
-    """Fused per-frame device prep on the COMPACT ingest format: u8 gray ->
-    f32, u16 depth -> meters + masking, feature depth plane, keypoint
-    extraction — ONE dispatch (color arrives pre-strided from the host)."""
+    """Fused per-frame device prep on the PACKED compact ingest buffer:
+    unpack (slice/bitcast), u8 gray -> f32, u16 depth -> meters + masking,
+    feature depth plane, keypoint extraction — ONE dispatch, ONE h2d."""
     from ..models.orb import feature_depth_map
 
+    gray8, depth16, color_small = _unpack_compact(
+        packed, cam.height, cam.width, stride
+    )
     depth = depth16.astype(jnp.float32) * jnp.float32(1.0 / DEPTH_SCALE)
     valid = (depth > min_depth) & (depth < max_depth)
     depth = jnp.where(valid, depth, 0.0)
@@ -590,9 +616,9 @@ class GraphManager:
     ) -> bool:
         """Process one frame; returns True if the node entered the graph.
 
-        compact: optional pre-compacted (gray8, depth16, color_small) triple
-        (compact_frame), possibly already device_put by a prefetching caller;
-        rgb/depth are ignored when given.
+        compact: optional pre-packed ingest buffer (compact_frame), possibly
+        already device_put by a prefetching caller; rgb/depth are ignored
+        when given.
 
         Device-call budget per frame (the TPU-first hot path): one fused
         prepare+extract dispatch, one candidate-comparison dispatch, one
@@ -624,9 +650,7 @@ class GraphManager:
             p["minimum_depth"],
             p["maximum_depth"],
             p["use_feature_min_depth"],
-            jnp.asarray(compact[0]),
-            jnp.asarray(compact[1]),
-            jnp.asarray(compact[2]),
+            jnp.asarray(compact),
         )
 
         eye4 = np.eye(4, dtype=np.float32)
@@ -886,8 +910,8 @@ class GraphManager:
         """Zero-host-round-trip step (see graph/device_step.py): dispatch one
         donated device program; bookkeeping drains in batches.
 
-        compact: (gray8, depth16, color_small) — see compact_frame; numpy or
-        already-device_put arrays (the pipeline prefetches them)."""
+        compact: packed u8 ingest buffer (compact_frame); numpy or an
+        already-device_put array (the pipeline prefetches it)."""
         from .device_step import slam_step
 
         p = self.params
@@ -911,13 +935,10 @@ class GraphManager:
         # dispatches one tiny device op per argument (~1 ms each through the
         # tunnel); jit bundles numpy args into the call instead.
         self._seed_counter += 1
-        gray8, depth16, color_small = compact
         self.store, self.graph, summary = slam_step(
             self.store,
             self.graph,
-            gray8,
-            depth16,
-            color_small,
+            compact,
             np.int32(new_id),
             np.int32(pred_id),
             np.asarray(padded, np.int32),

@@ -135,11 +135,9 @@ class SlamPipeline:
         stride = self.manager.emm_stride
 
         def put(i):
-            # compact on host (1.15 MB vs 2.15 MB raw — the tunnel's h2d
-            # bandwidth is the pipeline bottleneck), then prefetch to device
-            return tuple(
-                jax.device_put(a) for a in compact_frame(rgbs[i], depths[i], stride)
-            )
+            # compact+pack on host (1.15 MB, ONE buffer = one tunnel
+            # round-trip), then prefetch to device
+            return jax.device_put(compact_frame(rgbs[i], depths[i], stride))
 
         nxt = put(idxs[0])
         for k, i in enumerate(idxs):
@@ -180,10 +178,7 @@ class SlamPipeline:
             for k, (ts, rgb, depth) in enumerate(frames):
                 if k < skip0 or (k - skip0) % step:
                     continue
-                yield ts, tuple(
-                    jax.device_put(a)
-                    for a in compact_frame(rgb, depth, stride)
-                )
+                yield ts, jax.device_put(compact_frame(rgb, depth, stride))
                 count += 1
                 if max_frames and count >= max_frames:
                     return
@@ -268,9 +263,7 @@ class SlamPipeline:
 
         def put(i):
             ts, rgb, depth = dataset.load(i)
-            return ts, tuple(
-                jax.device_put(a) for a in compact_frame(rgb, depth, stride)
-            )
+            return ts, jax.device_put(compact_frame(rgb, depth, stride))
 
         nxt = put(idxs[0])
         for k, i in enumerate(idxs):

@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough here: the container's sitecustomize
+# imports jax and pins the axon (TPU-tunnel) platform before conftest runs,
+# so the config must be forced explicitly or the whole "CPU" suite silently
+# executes through the TPU tunnel (slow, and serialized across processes).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import rgbdslam_v2_tpu  # noqa: E402

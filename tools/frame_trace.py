@@ -44,7 +44,7 @@ for i in range(N):
     t0 = time.perf_counter()
     c = compact_frame(rgbs[i], depths[i], stride)
     t1 = time.perf_counter()
-    cpt = tuple(jax.device_put(a) for a in c)
+    cpt = jax.device_put(c)
     t2 = time.perf_counter()
     pipe.process_frame(None, None, float(stamps[i]),
                        gt_pose=poses[0] if i == 0 else None, compact=cpt)

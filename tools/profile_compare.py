@@ -57,10 +57,10 @@ def main():
 
     from rgbdslam_v2_tpu.graph.manager import _prepare_and_extract
 
-    cpt = tuple(jax.device_put(a) for a in compact_frame(rgbs[12], d16[12], m.emm_stride))
+    cpt = jax.device_put(compact_frame(rgbs[12], d16[12], m.emm_stride))
     kp, depth_small, _ = _prepare_and_extract(
         m.extractor, m.cam, m.emm_stride, p["minimum_depth"],
-        p["maximum_depth"], p["use_feature_min_depth"], *cpt)
+        p["maximum_depth"], p["use_feature_min_depth"], cpt)
     jax.block_until_ready(kp.desc)
     B = m.cand_batch
     cand_idx = jnp.arange(B, dtype=jnp.int32) % jnp.int32(m.n_nodes)

@@ -74,21 +74,21 @@ def main():
     cpt_h = compact_frame(rgbs[20], depths[20], m.emm_stride)
 
     # ---- h2d (compact ingest) ----
-    ms_h2d = t_ms(lambda: tuple(jax.device_put(a) for a in cpt_h))
+    ms_h2d = t_ms(lambda: jax.device_put(cpt_h))
 
-    g_d, d_d, c_d = (jax.device_put(a) for a in cpt_h)
+    cpt_d = jax.device_put(cpt_h)
 
     # ---- extract ----
     extract = jax.jit(
-        lambda g, d, c: _prepare_and_extract(
+        lambda c: _prepare_and_extract(
             m.extractor, m.cam, m.emm_stride, p["minimum_depth"],
-            p["maximum_depth"], p["use_feature_min_depth"], g, d, c
+            p["maximum_depth"], p["use_feature_min_depth"], c
         ),
         static_argnums=(),
     )
-    ms_extract = t_ms(lambda: extract(g_d, d_d, c_d))
+    ms_extract = t_ms(lambda: extract(cpt_d))
 
-    kp, depth_small, color_small = extract(g_d, d_d, c_d)
+    kp, depth_small, color_small = extract(cpt_d)
     cand_idx = jnp.asarray([m.n_nodes - 1] * m.cand_batch, jnp.int32)
 
     # ---- compare (B candidates) ----
