@@ -139,6 +139,96 @@ def cmd_synthetic(args):
     return 0
 
 
+def cmd_vo_multi(args):
+    """Multi-sequence evaluation, one sequence shard per device: the
+    multi-chip scaling axis this domain actually has (SURVEY §2.3) — S
+    sequences of visual odometry run in ONE sharded program over a
+    jax.sharding.Mesh (parallel/multi_eval.py), per-sequence ATE out."""
+    import os
+
+    if args.devices.startswith("cpu"):
+        n_dev = int(args.devices.split(":")[1]) if ":" in args.devices else 8
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_dev}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import rgbdslam_v2_tpu
+
+    rgbdslam_v2_tpu.enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from ..eval import evaluate_ate
+    from ..io.tum import TumDataset
+    from ..models.orb import OrbExtractor
+    from ..parallel import candidate_mesh
+    from ..parallel.multi_eval import vo_trajectories_sharded
+
+    params = _build_params(args.param)
+    cam = _cam_from_args(args, params)
+    datasets = [TumDataset.open(d) for d in args.tum_dirs]
+    T = min(len(ds) for ds in datasets)
+    if args.max_frames:
+        T = min(T, args.max_frames)
+
+    grays, depths, all_stamps = [], [], []
+    for ds in datasets:
+        g, d, st = [], [], []
+        for i in range(T):
+            ts, rgb, depth = ds.load(i)
+            rgbf = np.asarray(rgb, np.float32)
+            g.append((rgbf @ np.array([0.299, 0.587, 0.114], np.float32))
+                     / 255.0)
+            d.append(np.asarray(depth, np.float32))
+            st.append(ts)
+        grays.append(np.stack(g))
+        depths.append(np.stack(d))
+        all_stamps.append(st)
+
+    platform = "cpu" if args.devices.startswith("cpu") else None
+    n_dev = len(jax.devices(platform) if platform else jax.devices())
+    mesh = candidate_mesh(n_dev, platform=platform)
+    # pad the sequence axis to a multiple of the mesh size
+    S = len(datasets)
+    pad = (-S) % n_dev
+    garr = np.stack(grays + [grays[-1]] * pad)
+    darr = np.stack(depths + [depths[-1]] * pad)
+
+    extractor = OrbExtractor(max_keypoints=params["max_keypoints"])
+    res = vo_trajectories_sharded(
+        mesh, jnp.asarray(garr), jnp.asarray(darr), jax.random.PRNGKey(0),
+        extractor, cam,
+        n_hypotheses=params["ransac_iterations"],
+        min_inliers=params["min_matches"],
+        sigma_depth=params["sigma_depth"],
+    )
+    poses = np.asarray(res.poses)[:S]
+    report = {"devices": n_dev, "sequences": {}}
+    for s, ds in enumerate(datasets):
+        entry = {
+            "frames": T,
+            "ransac_success_rate": float(np.asarray(res.ok)[s].mean()),
+        }
+        if ds.groundtruth is not None:
+            try:
+                r = evaluate_ate(
+                    all_stamps[s], poses[s][:, :3, 3],
+                    ds.groundtruth[:, 0].tolist(), ds.groundtruth[:, 1:4],
+                )
+                entry["ate_rmse"] = r.rmse
+            except ValueError:
+                pass
+        report["sequences"][str(ds.root)] = entry
+    print(json.dumps(report, indent=2))
+    return 0
+
+
 def cmd_view(args):
     """Offline 3D views of a saved result (the GL-viewer capability,
     reference src/glviewer.cpp, rendered headless — io/render3d.py)."""
@@ -251,6 +341,18 @@ def main(argv=None):
 
     parp = sub.add_parser("params", help="list parameters")
     parp.set_defaults(fn=cmd_params)
+
+    vmp = sub.add_parser(
+        "vo-multi",
+        help="sharded multi-sequence visual odometry (one sequence/device)",
+    )
+    vmp.add_argument("tum_dirs", nargs="+")
+    vmp.add_argument("--devices", default="default",
+                     help="'default' (current backend) or 'cpu:N' virtual mesh")
+    vmp.add_argument("--camera", default="default")
+    vmp.add_argument("--max-frames", type=int, default=None)
+    vmp.add_argument("-p", "--param", action="append", metavar="K=V")
+    vmp.set_defaults(fn=cmd_vo_multi)
 
     viewp = sub.add_parser(
         "view", help="render a result dir (cloud + trajectory + edges) to PNGs"
