@@ -115,15 +115,13 @@ class SlamPipeline:
             self._online_map.save(self.online_octomap_path)
 
     def run_arrays(self, rgbs, depths, stamps, gt_poses=None) -> None:
-        """Feed pre-loaded arrays with double-buffered host->device transfer.
+        """Feed pre-loaded arrays through the async per-frame device step.
 
-        The device_put of frame i+1 is dispatched before frame i's results
-        are consumed, hiding transfer latency behind compute — the TPU analog
-        of the reference's concurrent_node_construction pipelining
+        Every dispatch is non-blocking (the device queue runs ahead of the
+        host; decisions drain in batches) — the TPU analog of the
+        reference's concurrent_node_construction pipelining
         (openni_listener.cpp:788-814).
         """
-        import jax
-
         from ..graph.manager import compact_frame
 
         p = self.params
@@ -134,16 +132,15 @@ class SlamPipeline:
             return
         stride = self.manager.emm_stride
 
-        def put(i):
-            # compact+pack on host (1.15 MB, ONE buffer = one tunnel
-            # round-trip), then prefetch to device
-            return jax.device_put(compact_frame(rgbs[i], depths[i], stride))
-
-        nxt = put(idxs[0])
-        for k, i in enumerate(idxs):
-            cpt = nxt
-            if k + 1 < len(idxs):
-                nxt = put(idxs[k + 1])
+        for i in idxs:
+            # compact+pack on host (1.15 MB, ONE buffer); the packed array
+            # goes to slam_step as a plain numpy argument — the jit call
+            # performs the single h2d itself. Measured against explicit
+            # device_put prefetching and 4-frame chunked transfers on the
+            # tunnel: the direct argument is the fastest and the least
+            # variable (the tunnel serializes transfer and compute anyway,
+            # so prefetch buys nothing and extra dispatches cost latency).
+            cpt = compact_frame(rgbs[i], depths[i], stride)
             # anchor the fixed first vertex at the GT of the first frame
             # actually processed (idxs[0] may be > 0 with skip_first_n_frames)
             gt = (
@@ -158,8 +155,6 @@ class SlamPipeline:
         processBagfile: src/openni_listener.cpp:218-340): RGB/depth messages
         are approximate-time paired and fed through the identical per-frame
         path, with frame skipping and prefetched compact h2d like run_tum."""
-        import jax
-
         from ..graph.manager import compact_frame
         from ..io.rosbag import read_rgbd_frames
 
@@ -178,7 +173,7 @@ class SlamPipeline:
             for k, (ts, rgb, depth) in enumerate(frames):
                 if k < skip0 or (k - skip0) % step:
                     continue
-                yield ts, jax.device_put(compact_frame(rgb, depth, stride))
+                yield ts, compact_frame(rgb, depth, stride)
                 count += 1
                 if max_frames and count >= max_frames:
                     return
@@ -187,7 +182,7 @@ class SlamPipeline:
         nxt = next(it, None)
         while nxt is not None:
             ts, cpt = nxt
-            nxt = next(it, None)  # prefetch the next h2d before consuming
+            nxt = next(it, None)  # decode-ahead (the h2d rides the jit call)
             self.process_frame(None, None, ts, compact=cpt)
 
     def save_bagfile(self, path, include_clouds: bool = False) -> str:
@@ -214,8 +209,6 @@ class SlamPipeline:
         """Process a TUM dataset. Prefers the C++ threaded loader
         (io/native_loader.py) — decode happens on native worker threads
         while this thread dispatches TPU work."""
-        import jax
-
         p = self.params
         skip0 = p["skip_first_n_frames"]
         step = max(1, p["data_skip_step"])
@@ -263,7 +256,7 @@ class SlamPipeline:
 
         def put(i):
             ts, rgb, depth = dataset.load(i)
-            return ts, jax.device_put(compact_frame(rgb, depth, stride))
+            return ts, compact_frame(rgb, depth, stride)
 
         nxt = put(idxs[0])
         for k, i in enumerate(idxs):

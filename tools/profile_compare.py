@@ -44,7 +44,7 @@ def main():
     params = ParameterServer(
         dict(max_keypoints=600, tpu_max_nodes=256, tpu_max_edges=4096,
              tpu_candidate_batch=8, ransac_iterations=200,
-             optimizer_skip_step=1000, keep_all_nodes=True,
+             optimizer_skip_step=1000, keep_all_nodes=True, emm_skip_step=4,
              observability_threshold=0.5)
     )
     pipe = SlamPipeline(TUM_DEFAULT, params)
