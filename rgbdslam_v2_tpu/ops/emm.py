@@ -243,6 +243,56 @@ def pairwise_observation_likelihood(
     )
 
 
+def rejection_significance(
+    old_T_new: jnp.ndarray,
+    new_points: jnp.ndarray,
+    new_valid: jnp.ndarray,
+    old_depth: jnp.ndarray,
+    cam: Intrinsics,
+    skip_step: int = 2,
+    sigma_depth: float = 0.01,
+    old_lohi: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Chi-square hypothesis-test variant of the EMM (misc.cpp:974-1134
+    rejectionSignificance, unused in the reference's main path but part of
+    its EMM toolbox): sum the per-point squared depth Mahalanobis distances
+    of the projected points and return the chi^2 CDF p-value with
+    dof = observation count. Values near 1.0 mean the depth disagreement is
+    larger than the noise model explains (reject); consistent transforms
+    score mid-range.
+    """
+    pts = new_points[::skip_step, ::skip_step].reshape(-1, 3)
+    val = new_valid[::skip_step, ::skip_step].reshape(-1)
+    moved = se3.apply(old_T_new, pts)
+    z_pred = moved[:, 2]
+    safe_z = jnp.where(jnp.abs(z_pred) < 1e-6, 1e-6, z_pred)
+    u = moved[:, 0] / safe_z * cam.fx + cam.cx
+    v = moved[:, 1] / safe_z * cam.fy + cam.cy
+    in_img = (
+        val & (z_pred > 0.1)
+        & (u >= 1.0) & (u <= cam.width - 2.0)
+        & (v >= 1.0) & (v <= cam.height - 2.0)
+    )
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cam.width - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cam.height - 1)
+    if old_lohi is None:
+        old_lohi = emm_pool_maps(old_depth)
+    lo, hi = emm_unpack(old_lohi[vi, ui])
+    has_obs = jnp.isfinite(lo)
+    best_obs = jnp.where(has_obs, jnp.clip(z_pred, lo, hi), 0.0)
+    counted = in_img & has_obs
+    joint = depth_covariance(z_pred, sigma_depth) + depth_covariance(
+        best_obs, sigma_depth
+    )
+    m2 = jnp.where(counted, (best_obs - z_pred) ** 2 / joint, 0.0)
+    k = jnp.sum(counted.astype(jnp.float32))
+    total = jnp.sum(m2)
+    # chi^2_k CDF = P(k/2, total/2) (regularized lower incomplete gamma)
+    from jax.scipy.special import gammainc
+
+    return jnp.where(k > 0, gammainc(k / 2.0, total / 2.0), 0.0)
+
+
 def observation_criterion_met(
     res: EmmResult, observability_threshold: float
 ) -> jnp.ndarray:

@@ -169,3 +169,21 @@ def test_exact_and_pool_agree_on_rendered_frames():
     assert bool(observation_criterion_met(pool, 0.5)) == bool(
         observation_criterion_met(exact, 0.5)
     )
+
+
+def test_rejection_significance_orders_transforms():
+    """The chi^2 p-value variant (misc.cpp:974-1134): a wrong transform must
+    score a (much) higher rejection significance than the true one."""
+    from rgbdslam_v2_tpu.ops.emm import rejection_significance
+
+    fa, fb, a_T_b = _two_frames()
+    p_true = float(
+        rejection_significance(a_T_b, fb.points, fb.valid, fa.depth, CAM)
+    )
+    bad = a_T_b.at[2, 3].add(0.5)  # half a meter of depth error
+    p_bad = float(
+        rejection_significance(bad, fb.points, fb.valid, fa.depth, CAM)
+    )
+    assert 0.0 <= p_true <= 1.0
+    assert p_bad > 0.999  # overwhelming evidence against
+    assert p_bad > p_true
