@@ -119,12 +119,6 @@ def main():
             best_fps, best_pipe = fps, pipe
     pipe = best_pipe
 
-    # ---- per-stage budget (stderr) ----------------------------------------
-    try:
-        _stage_table(pipe, rgbs, depths)
-    except Exception as exc:  # the table is diagnostic, never fatal
-        print(f"[bench] stage table failed: {exc}", file=sys.stderr)
-
     # ---- accuracy at scale: the full 5-level protocol ATE ------------------
     # (the reference's published-results protocol, openni_listener.cpp:431:
     # L0 online, L1 full optimization, L2-L4 prune@5/1/0.25 + re-optimize)
@@ -140,6 +134,15 @@ def main():
     ate_str = "/".join(f"{ate.get(l, float('nan')):.4f}" for l in range(5))
     print(f"[bench] 5-level protocol ATE (L0..L4): {ate_str} m",
           file=sys.stderr)
+
+    # ---- per-stage budget (stderr) -----------------------------------------
+    # AFTER the accuracy evaluation: the table injects synthetic probe frames
+    # into the pipeline's graph, which must not pollute the reported
+    # statistics or the protocol optimization.
+    try:
+        _stage_table(pipe, rgbs, depths)
+    except Exception as exc:  # the table is diagnostic, never fatal
+        print(f"[bench] stage table failed: {exc}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -72,11 +72,18 @@ def cmd_run(args):
             gt_xyz = ds.groundtruth[:, 1:4]
     elif bagfile:
         pipe.run_bag(bagfile, max_frames=args.max_frames)
-        from ..io.rosbag import read_tf_trajectory
+        # Ground truth from /tf only when a child frame is named (real bags
+        # carry calibration transforms on /tf too; reference
+        # ground_truth_frame_name semantics, parameter_server.cpp:75).
+        gt_frame = params["ground_truth_frame_name"]
+        if gt_frame:
+            from ..io.rosbag import read_tf_trajectory
 
-        tf_stamps, tf_rows = read_tf_trajectory(bagfile)
-        if len(tf_stamps):
-            gt_stamps, gt_xyz = tf_stamps.tolist(), tf_rows[:, :3]
+            tf_stamps, tf_rows = read_tf_trajectory(
+                bagfile, child_frame=gt_frame
+            )
+            if len(tf_stamps):
+                gt_stamps, gt_xyz = tf_stamps.tolist(), tf_rows[:, :3]
     else:
         print("error: one of --tum-dir or --bagfile is required",
               file=sys.stderr)
@@ -144,20 +151,23 @@ def cmd_vo_multi(args):
     multi-chip scaling axis this domain actually has (SURVEY §2.3) — S
     sequences of visual odometry run in ONE sharded program over a
     jax.sharding.Mesh (parallel/multi_eval.py), per-sequence ATE out."""
-    import os
+    import jax
 
     if args.devices.startswith("cpu"):
-        n_dev = int(args.devices.split(":")[1]) if ":" in args.devices else 8
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={n_dev}"
-            ).strip()
-        import jax
-
+        n_req = int(args.devices.split(":")[1]) if ":" in args.devices else 8
+        # the env's sitecustomize may have initialized jax before this code
+        # runs, so XLA_FLAGS would be ignored — the config knob is the
+        # reliable way to size the virtual CPU platform, and we verify below
         jax.config.update("jax_platforms", "cpu")
-    else:
-        import jax
+        jax.config.update("jax_num_cpu_devices", n_req)
+        got = len(jax.devices("cpu"))
+        if got < n_req:
+            print(
+                f"rgbdslam: error: requested cpu:{n_req} but only {got} CPU "
+                "device(s) materialized (platform initialized too early?)",
+                file=sys.stderr,
+            )
+            return 2
 
     import rgbdslam_v2_tpu
 

@@ -110,6 +110,9 @@ PARAM_DEFS = [
     _p("batch_processing", False, "offline evaluation mode (5-level protocol)"),
     _p("store_pointclouds", True, "retain clouds for mapping/export"),
     _p("fixed_frame_name", "/map", "world frame name in outputs"),
+    _p("ground_truth_frame_name", "",
+       "tf child frame carrying ground truth in bag playback; empty = none "
+       "(reference parameter_server.cpp:75)"),
     _p("base_frame_name", "/openni_camera", "sensor/base frame name"),
     # ---- [tpu] static capacities & precision ----
     _p("tpu_max_nodes", 4096, "[tpu] pose-graph node capacity"),

@@ -471,18 +471,28 @@ class GraphManager:
         elif n_global > 0 and kp is None and len(out) < B \
                 and self._retrieval_scores is not None:
             # pipelined path: consume the deferred on-device retrieval
-            # dispatched after the PREVIOUS frame's commit (its async copy
-            # has landed — no sync; adjacent frames see the same scene, so
-            # the one-frame-lagged scores remain valid loop hypotheses)
+            # dispatched after the PREVIOUS frame's commit. Only if its
+            # async copy has actually landed — pulling an in-flight array
+            # would block the host on the whole device queue (the zero-sync
+            # property the pipeline depends on); a not-yet-ready score set
+            # simply waits one more frame (scores stay valid: adjacent
+            # frames see the same scene).
             _qid, counts_dev = self._retrieval_scores
-            counts = np.asarray(counts_dev)
-            order = np.argsort(-counts)
-            for i in order[: n_global + len(out)]:
-                i = int(i)
-                if counts[i] >= 10 and i not in out and i != new_id:
-                    out.append(i)
-                if len(out) >= B:
-                    break
+            ready = getattr(counts_dev, "is_ready", lambda: True)()
+            if ready:
+                counts = np.asarray(counts_dev)
+                self._retrieval_scores = None  # consumed: next commit re-arms
+                n_added = 0
+                for i in np.argsort(-counts):
+                    i = int(i)
+                    if counts[i] >= 10 and i not in out and i != new_id:
+                        out.append(i)
+                        n_added += 1
+                    # cap at the configured budget (the kp-direct path uses
+                    # top_n=min(n_global, B-len(out)) — same bound here, so
+                    # appearance hits cannot crowd out keyframe sampling)
+                    if n_added >= n_global or len(out) >= B:
+                        break
 
         # random keyframe sampling (loop-closure discovery)
         kf_pool = [k for k in self.keyframes if k not in out and k != new_id]
@@ -981,10 +991,16 @@ class GraphManager:
         self._pending.append((new_id, list(padded), edge_start, summary))
         self.n_nodes += 1
         self.timestamps.append(timestamp)
-        if p["global_loop_candidates"] > 0 and new_id >= 8:
+        if p["global_loop_candidates"] > 0 and new_id >= 8 \
+                and self._retrieval_scores is None:
             # deferred appearance retrieval: the store now holds this frame's
-            # descriptors; score all nodes on device and async-pull — the
-            # result feeds the NEXT frame's candidate selection (zero sync)
+            # descriptors; score all nodes on device and async-pull. The
+            # result is consumed by a later frame's candidate selection ONCE
+            # its copy has landed (select_candidates polls is_ready) — the
+            # self-pacing keeps the path strictly zero-sync: one retrieval
+            # in flight at a time, re-armed after each consumption. Loop
+            # hypotheses stay valid over the few frames of lag (adjacent
+            # frames see the same scene).
             from .loop_closing import global_match_scores_from_store
 
             counts = global_match_scores_from_store(

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import bz2
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -63,7 +63,8 @@ def _encode_header(fields: Dict[str, bytes]) -> bytes:
     return b"".join(out)
 
 
-def _decode_header(buf: bytes) -> Dict[str, bytes]:
+def _decode_header(buf) -> Dict[str, bytes]:
+    buf = bytes(buf)  # headers are small; accept memoryview slices
     fields, off = {}, 0
     while off < len(buf):
         (n,) = _u32.unpack_from(buf, off)
@@ -93,14 +94,17 @@ def _record(header_fields: Dict[str, bytes], data: bytes) -> bytes:
     return _u32.pack(len(hdr)) + hdr + _u32.pack(len(data)) + data
 
 
-def _read_record(buf: bytes, off: int) -> Tuple[Dict[str, bytes], bytes, int]:
+def _read_record(buf, off: int) -> Tuple[Dict[str, bytes], "memoryview", int]:
+    """Parse one record. `buf` may be bytes, mmap, or memoryview; the data
+    payload is returned as a zero-copy memoryview so large bags stream
+    through the OS page cache instead of being materialized in RAM."""
     (hlen,) = _u32.unpack_from(buf, off)
     off += 4
-    header = _decode_header(buf[off : off + hlen])
+    header = _decode_header(bytes(buf[off : off + hlen]))
     off += hlen
     (dlen,) = _u32.unpack_from(buf, off)
     off += 4
-    data = buf[off : off + dlen]
+    data = memoryview(buf)[off : off + dlen]
     return header, data, off + dlen
 
 
@@ -132,7 +136,7 @@ class _Cursor:
         n = self.u32()
         s = self.buf[self.off : self.off + n]
         self.off += n
-        return s.decode(errors="replace")
+        return bytes(s).decode(errors="replace")  # buf may be a memoryview
 
     def raw(self, n) -> bytes:
         b = self.buf[self.off : self.off + n]
@@ -306,9 +310,17 @@ class BagReader:
     """
 
     def __init__(self, path):
+        import mmap
+
         self.path = Path(path)
-        self._blob = self.path.read_bytes()
-        if not self._blob.startswith(MAGIC):
+        self._file = open(self.path, "rb")
+        try:
+            self._blob = mmap.mmap(
+                self._file.fileno(), 0, access=mmap.ACCESS_READ
+            )
+        except (ValueError, OSError):  # empty file / exotic fs: fall back
+            self._blob = self._file.read()
+        if self._blob[: len(MAGIC)] != MAGIC:
             raise ValueError(f"{path}: not a ROS bag 2.0 file")
         self.connections: Dict[int, Connection] = {}
 
@@ -607,7 +619,12 @@ def write_rgbd_bag(
                 )
             bag.write_image(rgb_topic, t, np.asarray(rgbs[i]))
             d = np.asarray(depths[i])
-            if d.dtype != np.uint16:  # store as 32FC1 meters like TUM bags
+            if d.dtype == np.uint16:
+                # TUM PNG quantization (1/5000 m) -> 32FC1 meters; writing
+                # the raw u16 would be decoded as 16UC1 MILLIMETERS by every
+                # ROS consumer (5x scale error)
+                d = d.astype(np.float32) / 5000.0
+            else:
                 d = d.astype(np.float32)
             bag.write_image(depth_topic, t, d)
     return Path(path)

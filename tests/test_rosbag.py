@@ -196,3 +196,15 @@ def test_pipeline_run_bag(tmp_path):
     assert len(tf_stamps) == n
     np.testing.assert_allclose(rows[0, :3], np.asarray(est_poses)[0, :3, 3],
                                atol=1e-6)
+
+
+def test_u16_depth_units_roundtrip(tmp_path):
+    """TUM-quantized u16 depth (1/5000 m) must round-trip through a bag in
+    METERS — writing raw u16 would be decoded as 16UC1 millimeters by any
+    ROS consumer (a 5x scale error)."""
+    stamps, rgbs, _ = _mk_frames(2)
+    d16 = np.full((24, 32), 5000, np.uint16)  # 1.0 m in TUM units
+    path = write_rgbd_bag(tmp_path / "u16.bag", stamps, rgbs, [d16, d16])
+    frames = list(read_rgbd_frames(path))
+    assert len(frames) == 2
+    np.testing.assert_allclose(frames[0][2], 1.0, atol=1e-6)
