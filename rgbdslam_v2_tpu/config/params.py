@@ -124,6 +124,9 @@ PARAM_DEFS = [
     _p("tpu_mesh_devices", 1, "[tpu] devices in the candidate-sharding mesh"),
     _p("tpu_seed", 0, "[tpu] PRNG seed for RANSAC / sampling"),
     _p("tpu_drain_interval", 8, "[tpu] frames between host bookkeeping drains (fast path)"),
+    _p("tpu_frames_per_step", 1,
+       "[tpu] frames fused into one device dispatch (1 or 2; 2 halves the "
+       "per-frame dispatch/transfer round-trips on high-latency links)"),
 ]
 
 _DEFS_BY_NAME = {d.name: d for d in PARAM_DEFS}

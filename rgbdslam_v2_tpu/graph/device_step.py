@@ -55,34 +55,32 @@ class StepSummary(NamedTuple):
         )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "extractor",
-        "cam",
-        "cam_small",
-        "stride",
-        "min_depth",
-        "max_depth",
-        "max_matches",
-        "ratio",
-        "n_hypotheses",
-        "max_mahal_sq",
-        "min_inliers",
-        "emm_skip",
-        "sigma_depth",
-        "sample_size",
-        "refine_iterations",
-        "observability_threshold",
-        "max_translation_per_s",
-        "max_rotation_deg_per_s",
-        "const_pos_information",
-        "keep_all",
-        "use_feature_min_depth",
-    ),
-    donate_argnums=(0, 1),
+_STEP_STATICS = (
+    "extractor",
+    "cam",
+    "cam_small",
+    "stride",
+    "min_depth",
+    "max_depth",
+    "max_matches",
+    "ratio",
+    "n_hypotheses",
+    "max_mahal_sq",
+    "min_inliers",
+    "emm_skip",
+    "sigma_depth",
+    "sample_size",
+    "refine_iterations",
+    "observability_threshold",
+    "max_translation_per_s",
+    "max_rotation_deg_per_s",
+    "const_pos_information",
+    "keep_all",
+    "use_feature_min_depth",
 )
-def slam_step(
+
+
+def _step_body(
     store: NodeStore,
     graph: GraphState,
     packed,  # (N,) uint8 — ONE packed ingest buffer (manager.compact_frame)
@@ -222,3 +220,41 @@ def slam_step(
         ]
     )
     return store, graph, packed
+
+
+slam_step = functools.partial(
+    jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(0, 1)
+)(_step_body)
+
+
+@functools.partial(
+    jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(0, 1)
+)
+def slam_step2(
+    store: NodeStore,
+    graph: GraphState,
+    packed2,  # (2, N) uint8 — two packed ingest buffers
+    new_ids,  # (2,) int32
+    pred_ids,  # (2,) int32
+    cand_idx2,  # (2, B) int32
+    cand_dup2,  # (2, B) bool
+    cand_dt2,  # (2, B) float32
+    edge_starts,  # (2,) int32
+    seeds,  # (2,) uint32
+    **cfg,
+):
+    """TWO consecutive frames in ONE device program: frame 1's comparison
+    reads frame 0's freshly committed store row inside the same dispatch.
+    Halves the per-frame fixed dispatch/transfer round-trips on links where
+    they dominate (tpu_frames_per_step=2). Results are identical to two
+    sequential slam_step calls (same body, same order; asserted in
+    tests/test_round2_features.py)."""
+    s0_store, s0_graph, sum0 = _step_body(
+        store, graph, packed2[0], new_ids[0], pred_ids[0], cand_idx2[0],
+        cand_dup2[0], cand_dt2[0], edge_starts[0], seeds[0], **cfg,
+    )
+    s1_store, s1_graph, sum1 = _step_body(
+        s0_store, s0_graph, packed2[1], new_ids[1], pred_ids[1], cand_idx2[1],
+        cand_dup2[1], cand_dt2[1], edge_starts[1], seeds[1], **cfg,
+    )
+    return s1_store, s1_graph, sum0, sum1

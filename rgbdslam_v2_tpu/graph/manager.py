@@ -916,46 +916,10 @@ class GraphManager:
         return True
 
     # ------------------------------------------------------------------
-    def _add_frame_device(self, compact, timestamp, new_id, pred_id) -> bool:
-        """Zero-host-round-trip step (see graph/device_step.py): dispatch one
-        donated device program; bookkeeping drains in batches.
-
-        compact: packed u8 ingest buffer (compact_frame); numpy or an
-        already-device_put array (the pipeline prefetches it)."""
-        from .device_step import slam_step
-
+    def _step_cfg(self) -> dict:
+        """Static config kwargs shared by slam_step and slam_step2."""
         p = self.params
-        cand_ids = self.select_candidates(new_id)  # host, possibly-stale adjacency
-        B = self.cand_batch
-        padded = (cand_ids + [cand_ids[0]] * B)[:B]
-        dup = [False] * len(cand_ids) + [True] * (B - len(cand_ids))
-        dup = dup[:B]
-        dts = [max(abs(timestamp - self.timestamps[c]), 1e-3) for c in padded]
-        # slot 0 must be the predecessor (fallback dt uses cand_dt[0])
-        if padded[0] != pred_id and pred_id in padded:
-            k = padded.index(pred_id)
-            padded[0], padded[k] = padded[k], padded[0]
-            dup[0], dup[k] = dup[k], dup[0]
-            dts[0], dts[k] = dts[k], dts[0]
-
-        edge_start = self.n_edges
-        if edge_start + B + 1 > self.e_cap:
-            raise RuntimeError("edge capacity exceeded")
-        # All small args go in as NUMPY values: eager jnp.asarray on the host
-        # dispatches one tiny device op per argument (~1 ms each through the
-        # tunnel); jit bundles numpy args into the call instead.
-        self._seed_counter += 1
-        self.store, self.graph, summary = slam_step(
-            self.store,
-            self.graph,
-            compact,
-            np.int32(new_id),
-            np.int32(pred_id),
-            np.asarray(padded, np.int32),
-            np.asarray(dup, bool),
-            np.asarray(dts, np.float32),
-            np.int32(edge_start),
-            np.uint32(self._seed_counter),
+        return dict(
             extractor=self.extractor,
             cam=self.cam,
             cam_small=self.cam_small,
@@ -978,6 +942,143 @@ class GraphManager:
             const_pos_information=p["constant_position_information"],
             keep_all=True,
             use_feature_min_depth=p["use_feature_min_depth"],
+        )
+
+    def _frame_slots(self, new_id: int, timestamp: float):
+        """Candidate selection + padding + dt vector for one frame of the
+        fast path (shared by the single and paired dispatches)."""
+        cand_ids = self.select_candidates(new_id)  # host, possibly-stale
+        B = self.cand_batch
+        padded = (cand_ids + [cand_ids[0]] * B)[:B]
+        dup = [False] * len(cand_ids) + [True] * (B - len(cand_ids))
+        dup = dup[:B]
+        dts = [max(abs(timestamp - self.timestamps[c]), 1e-3) for c in padded]
+        pred_id = new_id - 1
+        # slot 0 must be the predecessor (fallback dt uses cand_dt[0])
+        if padded[0] != pred_id and pred_id in padded:
+            k = padded.index(pred_id)
+            padded[0], padded[k] = padded[k], padded[0]
+            dup[0], dup[k] = dup[k], dup[0]
+            dts[0], dts[k] = dts[k], dts[0]
+        return padded, dup, dts
+
+    def can_pair(self) -> bool:
+        """True when the next two frames may go through the fused two-frame
+        device step (same preconditions as the single fast path, plus at
+        least one existing node to anchor poses)."""
+        p = self.params
+        return (
+            self.n_nodes > 0
+            and p["keep_all_nodes"]
+            and self.mapping_enabled
+            and not p["use_robot_odom"]
+            and not p["use_robot_odom_only"]
+            and p["min_translation_meter"] <= 0
+            and p["min_rotation_degree"] <= 0
+            and self.n_nodes + 2 <= self.n_cap
+            and self.n_edges + 2 * (self.cand_batch + 1) <= self.e_cap
+        )
+
+    def add_frame_pair(self, compact0, ts0, compact1, ts1) -> None:
+        """TWO consecutive frames in ONE device dispatch (slam_step2):
+        halves the per-frame fixed dispatch/transfer round-trips
+        (tpu_frames_per_step=2). Caller must check can_pair() first."""
+        from .device_step import slam_step2
+
+        p = self.params
+        B = self.cand_batch
+        id0, id1 = self.n_nodes, self.n_nodes + 1
+        pad0, dup0, dts0 = self._frame_slots(id0, ts0)
+        # frame 1 selects against host state that already includes frame 0
+        # (its timestamp; adjacency remains one drain stale, as always)
+        self.timestamps.append(ts0)
+        self.n_nodes += 1
+        try:
+            pad1, dup1, dts1 = self._frame_slots(id1, ts1)
+        finally:
+            self.n_nodes -= 1
+            self.timestamps.pop()
+        e0 = self.n_edges
+        e1 = e0 + B + 1
+        self._seed_counter += 2
+        self.store, self.graph, sum0, sum1 = slam_step2(
+            self.store,
+            self.graph,
+            jnp.stack([jnp.asarray(compact0), jnp.asarray(compact1)])
+            if not isinstance(compact0, np.ndarray)
+            else np.stack([compact0, compact1]),
+            np.asarray([id0, id1], np.int32),
+            np.asarray([id0 - 1, id1 - 1], np.int32),
+            np.asarray([pad0, pad1], np.int32),
+            np.asarray([dup0, dup1], bool),
+            np.asarray([dts0, dts1], np.float32),
+            np.asarray([e0, e1], np.int32),
+            np.asarray(
+                [self._seed_counter - 1, self._seed_counter], np.uint32
+            ),
+            **self._step_cfg(),
+        )
+        for new_id, padded, e_start, summary, ts in (
+            (id0, pad0, e0, sum0, ts0),
+            (id1, pad1, e1, sum1, ts1),
+        ):
+            self.n_edges = e_start + B + 1
+            self.edge_pairs.extend([None] * (B + 1))
+            self.edge_types.extend([-1] * (B + 1))
+            summary.copy_to_host_async()
+            self._pending.append((new_id, list(padded), e_start, summary))
+            self.n_nodes += 1
+            self.timestamps.append(ts)
+        if p["global_loop_candidates"] > 0 and id1 >= 8 \
+                and self._retrieval_scores is None:
+            from .loop_closing import global_match_scores_from_store
+
+            counts = global_match_scores_from_store(
+                self.store, np.int32(id1), np.int32(self.n_nodes)
+            )
+            counts.copy_to_host_async()
+            self._retrieval_scores = (id1, counts)
+        if len(self._pending) >= p["tpu_drain_interval"]:
+            self._drain_pending(keep_newest=2)
+        self.nodes_since_optimize += 2
+        if self.nodes_since_optimize >= p["optimizer_skip_step"]:
+            self.optimize(
+                iterations=p["online_optimizer_iterations"],
+                blocking=False,
+                pcg_iters=24,
+            )
+
+    def _add_frame_device(self, compact, timestamp, new_id, pred_id) -> bool:
+        """Zero-host-round-trip step (see graph/device_step.py): dispatch one
+        donated device program; bookkeeping drains in batches.
+
+        compact: packed u8 ingest buffer (compact_frame); numpy or an
+        already-device_put array (the pipeline prefetches it)."""
+        from .device_step import slam_step
+
+        p = self.params
+        B = self.cand_batch
+        padded, dup, dts = self._frame_slots(new_id, timestamp)
+
+        edge_start = self.n_edges
+        if edge_start + B + 1 > self.e_cap:
+            raise RuntimeError("edge capacity exceeded")
+        # All small args go in as NUMPY values: eager jnp.asarray on the host
+        # dispatches one tiny device op per argument (~1 ms each through the
+        # tunnel); jit bundles numpy args into the call instead.
+        self._seed_counter += 1
+        self.store, self.graph, summary = slam_step(
+            self.store,
+            self.graph,
+            compact,
+            np.int32(new_id),
+            np.int32(pred_id),
+            np.asarray(padded, np.int32),
+            np.asarray(dup, bool),
+            np.asarray(dts, np.float32),
+            np.int32(edge_start),
+            np.uint32(self._seed_counter),
+            **self._step_cfg(),
         )
         # Reserve the B+1 slots; host lists fill at drain time.
         self.n_edges = edge_start + B + 1

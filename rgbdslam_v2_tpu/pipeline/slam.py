@@ -132,7 +132,10 @@ class SlamPipeline:
             return
         stride = self.manager.emm_stride
 
-        for i in idxs:
+        pair = p["tpu_frames_per_step"] >= 2
+        k = 0
+        while k < len(idxs):
+            i = idxs[k]
             # compact+pack on host (1.15 MB, ONE buffer); the packed array
             # goes to slam_step as a plain numpy argument — the jit call
             # performs the single h2d itself. Measured against explicit
@@ -141,6 +144,23 @@ class SlamPipeline:
             # variable (the tunnel serializes transfer and compute anyway,
             # so prefetch buys nothing and extra dispatches cost latency).
             cpt = compact_frame(rgbs[i], depths[i], stride)
+            if (
+                pair
+                and not self.paused
+                and k + 1 < len(idxs)
+                and self.manager.can_pair()
+            ):
+                # two frames fused into ONE device dispatch (slam_step2)
+                j = idxs[k + 1]
+                cpt2 = compact_frame(rgbs[j], depths[j], stride)
+                t0 = time.perf_counter()
+                self.manager.add_frame_pair(
+                    cpt, float(stamps[i]), cpt2, float(stamps[j])
+                )
+                self.wall_time += time.perf_counter() - t0
+                self.n_processed += 2
+                k += 2
+                continue
             # anchor the fixed first vertex at the GT of the first frame
             # actually processed (idxs[0] may be > 0 with skip_first_n_frames)
             gt = (
@@ -149,6 +169,7 @@ class SlamPipeline:
                 else None
             )
             self.process_frame(None, None, float(stamps[i]), gt, compact=cpt)
+            k += 1
 
     def run_bag(self, bag_path, max_frames: Optional[int] = None) -> None:
         """ROS bag playback input (the reference's primary offline entry,

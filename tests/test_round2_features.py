@@ -266,3 +266,25 @@ def test_start_paused():
     pipe.get_one_frame()
     assert pipe.process_frame(rgb, depth, 0.1) is not None  # step consumed
     assert pipe.paused  # still paused after the single step
+
+
+def test_two_frame_fused_step_identical(seq):
+    """tpu_frames_per_step=2 (slam_step2: two frames in one device dispatch)
+    must produce identical trajectories/edges to the single-frame path —
+    same body, same order, only the dispatch granularity differs."""
+    poses, rgbs, depths, stamps = seq
+    from rgbdslam_v2_tpu.pipeline import SlamPipeline
+
+    p1 = SlamPipeline(CAM, _params())
+    p1.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+    p2 = SlamPipeline(CAM, _params(tpu_frames_per_step=2))
+    p2.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+
+    assert p2.manager.n_nodes == p1.manager.n_nodes
+    s1, t1 = p1.manager.trajectory()
+    s2, t2 = p2.manager.trajectory()
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                               rtol=0, atol=1e-6)
+    st1, st2 = p1.manager.statistics(), p2.manager.statistics()
+    assert st2["active_edges"] == st1["active_edges"]
+    assert st2["loop_edges"] == st1["loop_edges"]
