@@ -71,7 +71,9 @@ PARAM_DEFS = [
        "effective stride 16 at cloud_creation_skip_step=2)"),
     _p("use_icp", False, "GICP refinement fallback"),
     _p("icp_max_iterations", 20, "GICP Gauss-Newton rounds"),
-    _p("g2o_transformation_refinement", 0, "extra least-squares pose refinement rounds"),
+    _p("g2o_transformation_refinement", 0,
+       "projective pose+landmark GN rounds over (u,v,depth) residuals after "
+       "RANSAC (0=off; transformation_estimation.cpp:37-170 equivalent)"),
     # ---- motion gates (per-second thresholds; reference misc.cpp:272-344) ----
     _p("min_translation_meter", 0.0, "drop frame if motion below (redundancy filter)"),
     _p("min_rotation_degree", 0.0, "drop frame if rotation below"),
@@ -127,6 +129,9 @@ PARAM_DEFS = [
     _p("tpu_frames_per_step", 1,
        "[tpu] frames fused into one device dispatch (1 or 2; 2 halves the "
        "per-frame dispatch/transfer round-trips on high-latency links)"),
+    _p("tpu_retrieval_min_matches", 10,
+       "[tpu] min descriptor hits for a deferred appearance-retrieval "
+       "candidate (fast-path analog of the ratio-test retrieval gate)"),
 ]
 
 _DEFS_BY_NAME = {d.name: d for d in PARAM_DEFS}

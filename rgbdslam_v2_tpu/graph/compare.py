@@ -52,6 +52,9 @@ class CompareResult(NamedTuple):
         "sigma_depth",
         "sample_size",
         "refine_iterations",
+        "projective_iterations",
+        "cam_cx",
+        "cam_cy",
     ),
 )
 def compare_to_candidates(
@@ -72,6 +75,9 @@ def compare_to_candidates(
     sigma_depth: float = 0.01,
     sample_size: int = 4,
     refine_iterations: int = 6,
+    projective_iterations: int = 0,
+    cam_cx: float = 319.5,
+    cam_cy: float = 239.5,
 ) -> CompareResult:
     B = cand_idx.shape[0]
     c_desc = store.desc[cand_idx]  # (B, K, D)
@@ -107,6 +113,9 @@ def compare_to_candidates(
             refine_iterations=refine_iterations,
             min_inliers=min_inliers,
             sigma_depth=sigma_depth,
+            projective_iterations=projective_iterations,
+            cam_cx=cam_cx,
+            cam_cy=cam_cy,
         )
     )(keys, src, dst, m.dist, m.valid)
 

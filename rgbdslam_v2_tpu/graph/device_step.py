@@ -71,6 +71,7 @@ _STEP_STATICS = (
     "sigma_depth",
     "sample_size",
     "refine_iterations",
+    "projective_iterations",
     "observability_threshold",
     "max_translation_per_s",
     "max_rotation_deg_per_s",
@@ -107,6 +108,7 @@ def _step_body(
     sigma_depth: float = 0.01,
     sample_size: int = 4,
     refine_iterations: int = 6,
+    projective_iterations: int = 0,
     observability_threshold: float = 0.0,
     max_translation_per_s: float = 1e10,
     max_rotation_deg_per_s: float = 1e10,
@@ -139,6 +141,9 @@ def _step_body(
         sigma_depth=sigma_depth,
         sample_size=sample_size,
         refine_iterations=refine_iterations,
+        projective_iterations=projective_iterations,
+        cam_cx=cam.cx,
+        cam_cy=cam.cy,
     )
 
     # ---- on-device accept/reject (nodeComparisons decision logic) ---------

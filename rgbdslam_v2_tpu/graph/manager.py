@@ -386,6 +386,7 @@ class GraphManager:
         # localizationUpdate outputs (graph_manager.cpp:660-679)
         self.localization_pose: Optional[np.ndarray] = None
         self.localization_trajectory: List[tuple] = []
+        self._loc_poses_host: Optional[np.ndarray] = None  # frozen-map mirror
         # pose_relative_to=inaffected: nodes optimized so far (watermark)
         self._nodes_opt_watermark = 0
         # host mirror of edge_active (sync-free fixation/pruning decisions)
@@ -483,9 +484,10 @@ class GraphManager:
                 counts = np.asarray(counts_dev)
                 self._retrieval_scores = None  # consumed: next commit re-arms
                 n_added = 0
+                min_hits = p["tpu_retrieval_min_matches"]
                 for i in np.argsort(-counts):
                     i = int(i)
-                    if counts[i] >= 10 and i not in out and i != new_id:
+                    if counts[i] >= min_hits and i not in out and i != new_id:
                         out.append(i)
                         n_added += 1
                     # cap at the configured budget (the kp-direct path uses
@@ -734,8 +736,10 @@ class GraphManager:
             emm_skip=p["emm_skip_step"],
             sigma_depth=p["sigma_depth"],
             sample_size=p["sample_candidates"],
-            refine_iterations=p["refine_iterations"]
-            + p["g2o_transformation_refinement"],
+            refine_iterations=p["refine_iterations"],
+            projective_iterations=p["g2o_transformation_refinement"],
+            cam_cx=self.cam.cx,
+            cam_cy=self.cam.cy,
         )
         # Pull scalars to host in ONE transfer.
         host = jax.device_get(res)
@@ -790,8 +794,12 @@ class GraphManager:
             if accepted:
                 best_b = max(accepted, key=lambda b: n_inl[b])
                 cid = padded[best_b]
+                # poses are frozen in localization mode; toggle_mapping(False)
+                # pulled a host mirror once, so no per-frame device_get here
+                if self._loc_poses_host is None:
+                    self._loc_poses_host = self.poses()
                 world_T_cand = np.asarray(
-                    jax.device_get(self.graph.poses[cid]), np.float32
+                    self._loc_poses_host[cid], np.float32
                 )
                 pose = world_T_cand @ np.asarray(T_all[best_b], np.float32)
                 self.localization_pose = pose
@@ -934,8 +942,8 @@ class GraphManager:
             emm_skip=p["emm_skip_step"],
             sigma_depth=p["sigma_depth"],
             sample_size=p["sample_candidates"],
-            refine_iterations=p["refine_iterations"]
-            + p["g2o_transformation_refinement"],
+            refine_iterations=p["refine_iterations"],
+            projective_iterations=p["g2o_transformation_refinement"],
             observability_threshold=p["observability_threshold"],
             max_translation_per_s=p["max_translation_meter"],
             max_rotation_deg_per_s=p["max_rotation_degree"],
@@ -1335,7 +1343,17 @@ class GraphManager:
             return float(chi2) if blocking else float("nan")
         finally:
             self.nodes_since_optimize = 0
-            self._nodes_opt_watermark = self.n_nodes
+            # Non-blocking optimize drained with keep_newest=2: those frames'
+            # edges were NOT part of the subgraph, so the watermark must stop
+            # at the oldest still-pending node — advancing it to n_nodes would
+            # permanently fix those nodes out of every later inaffected
+            # optimize (they'd only ever move in a blocking full optimize).
+            if self._pending:
+                self._nodes_opt_watermark = min(
+                    nid for (nid, _, _, _) in self._pending
+                )
+            else:
+                self._nodes_opt_watermark = self.n_nodes
 
     # ------------------------------------------------------------------
     def prune_edges_above(self, threshold: float) -> int:
@@ -1385,6 +1403,10 @@ class GraphManager:
             mask = np.zeros(self.n_cap, bool)
             mask[: self.n_nodes] = True
             self.graph = self.graph._replace(node_fixed=jnp.asarray(mask))
+            self._drain_pending()
+            self._loc_poses_host = self.poses()  # one pull; poses now frozen
+        else:
+            self._loc_poses_host = None
 
     def statistics(self) -> dict:
         self._drain_pending()

@@ -58,7 +58,11 @@ class NodeStore(NamedTuple):
             desc=jnp.zeros((n_cap, k_cap, desc_dim), desc_dtype),
             kp_valid=jnp.zeros((n_cap, k_cap), bool),
             depth=jnp.zeros((n_cap, emm_h, emm_w), jnp.float32),
-            emm_lohi=jnp.zeros((n_cap, emm_h, emm_w), jnp.uint32),
+            # packed f16 [lo=+inf | hi=-inf] — the emm_pool_maps encoding of
+            # an all-invalid depth row, so an uncommitted row decodes as
+            # "unobserved" (isfinite(lo)=False) exactly like the on-the-fly
+            # path, not as a spurious z=0 occluder
+            emm_lohi=jnp.full((n_cap, emm_h, emm_w), 0xFC007C00, jnp.uint32),
             color=jnp.zeros((n_cap, ch, cw, 3), jnp.uint8),
         )
 

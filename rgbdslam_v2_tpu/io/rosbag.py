@@ -324,6 +324,29 @@ class BagReader:
             raise ValueError(f"{path}: not a ROS bag 2.0 file")
         self.connections: Dict[int, Connection] = {}
 
+    def close(self):
+        """Release the file handle and (when no decoded message still views
+        it) the mmap. Decoded messages hold zero-copy views into the mapping;
+        CPython refuses to unmap while such views live (BufferError), so the
+        mapping is then released when the last view drops — the fd, the
+        scarce resource when iterating many bags, is always freed here."""
+        import mmap
+
+        if isinstance(self._blob, mmap.mmap):
+            try:
+                self._blob.close()
+            except BufferError:
+                pass  # live message views; unmapped at their GC
+        self._blob = b""
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def _add_connection(self, header, data):
         cid = _u32.unpack(header["conn"])[0]
         cf = _decode_header(data)
@@ -392,12 +415,13 @@ def read_rgbd_frames(
     rgb_topic, depth_topic = norm(rgb_topic), norm(depth_topic)
     rgb_msgs: List[ImageMsg] = []
     depth_msgs: List[ImageMsg] = []
-    for topic, _datatype, _t, raw in BagReader(path).records():
-        nt = norm(topic)
-        if nt == rgb_topic:
-            rgb_msgs.append(ImageMsg.decode(raw))
-        elif nt == depth_topic:
-            depth_msgs.append(ImageMsg.decode(raw))
+    with BagReader(path) as reader:
+        for topic, _datatype, _t, raw in reader.records():
+            nt = norm(topic)
+            if nt == rgb_topic:
+                rgb_msgs.append(ImageMsg.decode(raw))
+            elif nt == depth_topic:
+                depth_msgs.append(ImageMsg.decode(raw))
     pairs = associate(
         [m.stamp for m in rgb_msgs],
         [m.stamp for m in depth_msgs],
@@ -416,13 +440,14 @@ def read_tf_trajectory(
     948-1014)."""
     stamps, rows = [], []
     tf_topic = tf_topic.lstrip("/")
-    for topic, datatype, _t, raw in BagReader(path).records():
-        if topic.lstrip("/") != tf_topic:
-            continue
-        for tr in decode_tf(raw):
-            if child_frame is None or tr.child_frame_id.lstrip("/") == child_frame.lstrip("/"):
-                stamps.append(tr.stamp)
-                rows.append(np.concatenate([tr.translation, tr.quaternion]))
+    with BagReader(path) as reader:
+        for topic, datatype, _t, raw in reader.records():
+            if topic.lstrip("/") != tf_topic:
+                continue
+            for tr in decode_tf(raw):
+                if child_frame is None or tr.child_frame_id.lstrip("/") == child_frame.lstrip("/"):
+                    stamps.append(tr.stamp)
+                    rows.append(np.concatenate([tr.translation, tr.quaternion]))
     return np.array(stamps), np.array(rows).reshape(-1, 7)
 
 

@@ -142,13 +142,21 @@ def observation_likelihood_exact(
     cam: Intrinsics,
     skip_step: int = 2,
     sigma_depth: float = 0.01,
-    gate_sigmas: float = 2.5,
+    gate_sigmas: float = 3.09,
+    cov_scale: float = 1.0,
 ) -> EmmResult:
     """Exact 9-sample neighborhood EMM — the reference's semantics verbatim
     (misc.cpp:889-929): sample the 5x5 window at stride 2 (9 gathers) and
     classify with the reference's priority — inlier if ANY sample explains
     z_pred within the gate, else occluded if ANY sample lies in front
     (z_obs < z_pred - gate), else outlier if ANY sample lies behind.
+
+    gate_sigmas defaults to 3.09: the reference accepts when the normal cdf
+    of the depth difference lies in (0.001, 0.999) — the two-sided ±3.09σ
+    interval (misc.cpp:911-923). cov_scale mirrors the reference's
+    `cloud_creation_skip_step * depth_covariance(z)` variance inflation for
+    strided clouds (misc.cpp:903-905); pass the cloud stride for verbatim
+    acceptance regions.
 
     This is the validation oracle for the pooled fast path
     (observation_likelihood): the pool's clip(z_pred, lo, hi) accepts every
@@ -181,7 +189,7 @@ def observation_likelihood_exact(
     any_front = jnp.zeros_like(in_img)
     any_behind = jnp.zeros_like(in_img)
     any_obs = jnp.zeros_like(in_img)
-    sig_new = depth_covariance(z_pred, sigma_depth)
+    sig_new = cov_scale * depth_covariance(z_pred, sigma_depth)
     for dv in (-2, 0, 2):
         for du in (-2, 0, 2):
             uu = jnp.clip(ui + du, 0, cam.width - 1)
@@ -189,7 +197,7 @@ def observation_likelihood_exact(
             z_obs = old_depth[vv, uu]
             ok = z_obs > 0
             gate = gate_sigmas * jnp.sqrt(
-                sig_new + depth_covariance(z_obs, sigma_depth)
+                sig_new + cov_scale * depth_covariance(z_obs, sigma_depth)
             )
             diff = z_obs - z_pred
             any_good |= ok & (jnp.abs(diff) <= gate)

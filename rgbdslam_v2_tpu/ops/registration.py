@@ -99,12 +99,21 @@ def ransac_register(
     refine_iterations: int = 6,
     min_inliers: int = 12,
     sigma_depth: float = 0.01,
+    projective_iterations: int = 0,
+    cam_cx: float = 319.5,
+    cam_cy: float = 239.5,
 ) -> RegistrationResult:
     """One batched RANSAC solve over M matched 3D point pairs.
 
     src_xyz: (M, 3) points in the NEW frame; dst_xyz: (M, 3) points in the
     OLD frame. Returns dst_T_src. Includes the identity hypothesis
     (node.cpp:1192-1215 capability) as one extra hypothesis.
+
+    projective_iterations > 0 additionally runs the reference's
+    g2o_transformation_refinement equivalent on the final inlier set:
+    joint pose+landmark Gauss-Newton over (u, v, depth) measurement
+    residuals with depth-dependent information (ops/projective.py;
+    transformation_estimation.cpp:37-170).
     """
     M = src_xyz.shape[0]
     w_depth = jnp.where(
@@ -172,6 +181,32 @@ def ransac_register(
     (T, inliers), _ = jax.lax.scan(
         refine_step, (T, inliers), None, length=refine_iterations
     )
+    if projective_iterations > 0:
+        # pixel-space joint pose+landmark GN on the inlier set — better
+        # conditioned than further 3D refits for distant/noisy-depth
+        # correspondences (transformation_estimation.cpp:37-170)
+        from .projective import refine_projective, uvz_from_xyz
+
+        m2 = mahalanobis_sq(T, src_xyz, dst_xyz, src_cov, dst_cov)
+        inliers = match_valid & (m2 < max_mahal_sq)
+        T_p = refine_projective(
+            T,
+            uvz_from_xyz(src_xyz, cam_fx, cam_fy, cam_cx, cam_cy),
+            uvz_from_xyz(dst_xyz, cam_fx, cam_fy, cam_cx, cam_cy),
+            inliers.astype(src_xyz.dtype),
+            cam_fx, cam_fy, cam_cx, cam_cy,
+            iterations=projective_iterations,
+            sigma_depth=sigma_depth,
+        )
+        # keep the projective result only if it does not lose inliers under
+        # the standard acceptance metric (GN on few/degenerate points could)
+        m2_p = mahalanobis_sq(T_p, src_xyz, dst_xyz, src_cov, dst_cov)
+        inl_p = match_valid & (m2_p < max_mahal_sq)
+        better = jnp.sum(inl_p.astype(jnp.int32)) >= jnp.sum(
+            inliers.astype(jnp.int32)
+        )
+        T = jnp.where(better, T_p, T)
+
     m2 = mahalanobis_sq(T, src_xyz, dst_xyz, src_cov, dst_cov)
     inliers = match_valid & (m2 < max_mahal_sq)
     n_inl = jnp.sum(inliers.astype(jnp.int32))

@@ -159,6 +159,11 @@ class SlamPipeline:
                 )
                 self.wall_time += time.perf_counter() - t0
                 self.n_processed += 2
+                if self.params["octomap_online_creation"]:
+                    # same per-frame post-commit work process_frame does —
+                    # both paired nodes entered the graph (keep_all fast path)
+                    self._online_octomap_insert(self.manager.n_nodes - 2)
+                    self._online_octomap_insert(self.manager.n_nodes - 1)
                 k += 2
                 continue
             # anchor the fixed first vertex at the GT of the first frame
@@ -216,13 +221,28 @@ class SlamPipeline:
         from ..io.rosbag import BagWriter, TransformStamped
 
         stamps, poses = self.manager.trajectory()
+        mgr = self.manager
         with BagWriter(path) as bag:
-            for t, T in zip(stamps, np.asarray(poses)):
+            for nid, (t, T) in enumerate(zip(stamps, np.asarray(poses))):
                 q = np.asarray(rot_to_quat(T[:3, :3]))
                 bag.write_tf(
                     [TransformStamped(float(t), "/map", "/camera",
                                       T[:3, 3].copy(), q)]
                 )
+                if include_clouds:
+                    # per-node sensor data alongside the trajectory, like the
+                    # reference's bag writer records node images/clouds
+                    # (graph_mgr_io.cpp:102-150); stored stride-s color +
+                    # depth (meters f32) from the device store
+                    depth = np.asarray(mgr.store.depth[nid], np.float32)
+                    bag.write_image(
+                        self.params["topic_image_depth"], float(t), depth
+                    )
+                    if mgr.store.has_color:
+                        rgb = np.asarray(mgr.store.color[nid])
+                        bag.write_image(
+                            self.params["topic_image_mono"], float(t), rgb
+                        )
         return str(path)
 
     def run_tum(self, dataset: TumDataset, max_frames: Optional[int] = None,
@@ -329,14 +349,20 @@ class SlamPipeline:
         save_level(0)
         # The reference's protocol switches to full-graph optimization with
         # first-vertex fixation for the final runs (openni_listener.cpp:439).
-        self.params["pose_relative_to"] = "first"
-        mgr.optimize(iterations=self.params["optimizer_iterations"] * 2)
-        save_level(1)
-        thresholds = ((2, self.params["edge_error_threshold"]), (3, 1.0), (4, 0.25))
-        for level, thresh in thresholds:
-            mgr.prune_edges_above(thresh)
-            mgr.optimize(iterations=self.params["optimizer_iterations"])
-            save_level(level)
+        # Restored afterwards: leaking "first" into later use of this params
+        # object would silently disable e.g. inaffected on a second sequence.
+        saved_fixation = self.params["pose_relative_to"]
+        try:
+            self.params["pose_relative_to"] = "first"
+            mgr.optimize(iterations=self.params["optimizer_iterations"] * 2)
+            save_level(1)
+            thresholds = ((2, self.params["edge_error_threshold"]), (3, 1.0), (4, 0.25))
+            for level, thresh in thresholds:
+                mgr.prune_edges_above(thresh)
+                mgr.optimize(iterations=self.params["optimizer_iterations"])
+                save_level(level)
+        finally:
+            self.params["pose_relative_to"] = saved_fixation
 
         fps = self.n_processed / self.wall_time if self.wall_time > 0 else 0.0
         report = EvaluationReport(
