@@ -2,24 +2,34 @@
 """Benchmark: end-to-end RGB-D SLAM throughput on one TPU chip, at the
 reference benchmark's scale.
 
-Sequence: 500+ frames of 640x480 RGB-D (synthetic textured room with exact
-ground truth — no TUM data ships in this environment), Kinect-style
-quadratic depth noise (sigma 0.01*z^2) plus the TUM 1/5000 u16 depth
-quantization, fr1-class angular rate (2 deg/frame), multiple full orbits so
-appearance/keyframe loop closures fire. Graph capacity 1024 nodes — the
-reference's fr1 sequences build 550-2900 nodes (test/README:106-114).
+Phase 1 (fr1-class, the headline number): 520 frames of 640x480 RGB-D
+(synthetic textured room with exact ground truth — no TUM data ships in
+this environment), Kinect-style quadratic depth noise (sigma 0.01*z^2)
+plus the TUM 1/5000 u16 depth quantization, fr1-class angular rate
+(2 deg/frame), multiple full orbits so appearance/keyframe loop closures
+fire. Three measurement windows; the MEDIAN window is the reported value
+(the tunnel shows ~1.6x run-to-run contention variance; best is printed
+too). Then the reference's full 5-level evaluation protocol ATE.
 
-Measured work per frame: compact h2d ingest (gray u8 + depth u16 + strided
-color), ORB-600 extraction, 8-candidate MXU matching + batched RANSAC with
-Mahalanobis inliers + bidirectional EMM validation, donated graph commit,
-amortized subgraph (inaffected) pose-graph optimization — the full online
-protocol of the reference at fr1_desk settings (test/test_settings.launch).
+Phase 2 (fr2-class scale): the same orbit repeated 4x (2080 frames — a
+4-revisit trajectory) into a 4096-node / 65536-edge graph, reporting fps
+per 520-frame chunk (nodes ~500/1000/1500/2000) to expose O(nodes) cost
+growth, plus the >1024-node full-graph optimization (PCG path) runtime.
+Reference: fr2_desk builds 2866 nodes / 37k edges in 273.7 s (~10 fps,
+test/README:114).
+
+Measured work per frame: compact yc12 ingest (0.46 MB: Y + 12-bit stride-2
+depth + 4:2:0 chroma), ORB-600 extraction, 8-candidate MXU matching +
+batched RANSAC with Mahalanobis inliers + bidirectional EMM validation,
+donated graph commit, amortized subgraph (inaffected) optimization — the
+full online protocol of the reference at fr1_desk settings
+(test/test_settings.launch).
 
 Baseline: the reference processes TUM fr1_desk at ~16.6 fps end-to-end
 (550 nodes / 33.2 s, test/README:106, contemporary desktop CPU+GPU).
 
 Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
-A ms-per-stage budget table goes to stderr.
+Stage budgets and per-scale fps go to stderr.
 """
 import json
 import sys
@@ -37,7 +47,6 @@ def main():
 
     from rgbdslam_v2_tpu.config import ParameterServer
     from rgbdslam_v2_tpu.core.camera import TUM_DEFAULT
-    from rgbdslam_v2_tpu.eval import evaluate_ate
     from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
     from rgbdslam_v2_tpu.pipeline import SlamPipeline
 
@@ -49,8 +58,8 @@ def main():
     if cache.exists():
         z = np.load(cache)
         poses, rgbs = z["poses"], z["rgbs"]
-        # keep depth as u16: compact_frame passes it through untouched
-        # (the TUM recording format; meters = u16/5000 on device)
+        # keep depth as u16: compact_frame quantizes from it (the TUM
+        # recording format; meters = u16/5000 after device decode)
         depths = z["depths_u16"]
         print(f"[bench] loaded {n_frames} cached frames in "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
@@ -68,12 +77,12 @@ def main():
                  depths_u16=np.clip(depths * 5000.0 + 0.5, 0, 65535).astype(np.uint16))
     stamps = np.arange(n_frames) / 30.0
 
-    def make_pipe():
+    def make_pipe(n_nodes=1024, n_edges=8192):
         params = ParameterServer(
             dict(
                 max_keypoints=600,
-                tpu_max_nodes=1024,
-                tpu_max_edges=8192,
+                tpu_max_nodes=n_nodes,
+                tpu_max_edges=n_edges,
                 tpu_candidate_batch=8,
                 ransac_iterations=200,
                 optimizer_skip_step=10,
@@ -96,11 +105,9 @@ def main():
                            gt_pose=poses[0] if i == 0 else None)
     pipe.manager.optimize(blocking=True)
 
-    # The device tunnel shows ~1.6x run-to-run contention variance; measure
-    # three windows over the same sequence and report the best one (the
-    # steady-state capability; compiles are cached so all windows run the
-    # identical program).
-    best_fps, best_pipe = 0.0, None
+    # ---- phase 1: three windows; median reported, best printed -------------
+    window_fps = []
+    pipes = []
     for window in range(3):
         pipe = make_pipe()
         for i in range(warmup):
@@ -115,9 +122,14 @@ def main():
         fps = (n_frames - warmup) / dt
         print(f"[bench] window {window}: {fps:.2f} fps "
               f"({dt/(n_frames-warmup)*1e3:.1f} ms/frame)", file=sys.stderr)
-        if fps > best_fps:
-            best_fps, best_pipe = fps, pipe
-    pipe = best_pipe
+        window_fps.append(fps)
+        pipes.append(pipe)
+    order = int(np.argsort(window_fps)[len(window_fps) // 2])
+    median_fps = window_fps[order]
+    best_fps = max(window_fps)
+    pipe = pipes[order]  # evaluate the median window's graph
+    print(f"[bench] median {median_fps:.2f} fps / best {best_fps:.2f} fps",
+          file=sys.stderr)
 
     # ---- accuracy at scale: the full 5-level protocol ATE ------------------
     # (the reference's published-results protocol, openni_listener.cpp:431:
@@ -135,34 +147,87 @@ def main():
     print(f"[bench] 5-level protocol ATE (L0..L4): {ate_str} m",
           file=sys.stderr)
 
+    # ---- phase 2: fr2-class scale (4 orbits -> ~2080 nodes, PCG final) -----
+    fr2 = {}
+    try:
+        fr2 = _fr2_scale_phase(make_pipe, rgbs, depths, n_frames, warmup)
+    except Exception as exc:  # diagnostic phase, never fatal
+        print(f"[bench] fr2-scale phase failed: {exc}", file=sys.stderr)
+
     # ---- per-stage budget (stderr) -----------------------------------------
-    # AFTER the accuracy evaluation: the table injects synthetic probe frames
-    # into the pipeline's graph, which must not pollute the reported
-    # statistics or the protocol optimization.
     try:
         _stage_table(pipe, rgbs, depths)
     except Exception as exc:  # the table is diagnostic, never fatal
         print(f"[bench] stage table failed: {exc}", file=sys.stderr)
 
+    fr2_str = ""
+    if fr2:
+        fr2_str = (
+            f"; fr2-scale {fr2['nodes']} nodes / {fr2['edges']} edges: "
+            + " ".join(
+                f"{f:.1f}fps@{n}n" for n, f in fr2["chunk_fps"]
+            )
+            + f", final full optimize (PCG) {fr2['opt_s']:.1f}s"
+            + f"; ref fr2_desk 2866 nodes at ~10 fps, optimizer 41.8 s"
+        )
+
     print(
         json.dumps(
             {
                 "metric": (
-                    "end-to-end SLAM throughput, 640x480 RGB-D, ORB-600, "
-                    "8 candidates, RANSAC-200, EMM on, depth noise 0.01z^2 + "
-                    "u16 quantization, "
+                    "end-to-end SLAM throughput (median of 3 windows; best "
+                    f"{best_fps:.1f}), 640x480 RGB-D, ORB-600, 8 candidates, "
+                    "RANSAC-200, EMM on, depth noise 0.01z^2 + u16 "
+                    "quantization, "
                     f"{stats['nodes']} nodes / {stats['active_edges']} edges "
                     f"({stats['loop_edges']} loop), 5-level protocol ATE RMSE "
                     f"L0..L4 {ate_str} m vs exact GT; "
                     f"ref fr1_desk={BASELINE_FPS} fps at 550 nodes, "
-                    "ATE 0.019 m on real fr1_desk data"
+                    "ATE 0.019 m on real fr1_desk data" + fr2_str
                 ),
-                "value": round(best_fps, 2),
+                "value": round(median_fps, 2),
                 "unit": "frames/sec",
-                "vs_baseline": round(best_fps / BASELINE_FPS, 2),
+                "vs_baseline": round(median_fps / BASELINE_FPS, 2),
             }
         )
     )
+
+
+def _fr2_scale_phase(make_pipe, rgbs, depths, n_frames, warmup):
+    """Process the orbit 4x into a 4096-node graph; fps per 520-frame chunk
+    exposes O(nodes) growth; the final blocking optimize runs the >1024-node
+    PCG path (reference scale: fr2_desk 2866 nodes / 37k edges,
+    test/README:114)."""
+    import numpy as np
+
+    pipe = make_pipe(n_nodes=4096, n_edges=65536)
+    pipe.params.set("optimizer_skip_step", 10)
+    n_rounds = 4
+    chunk_fps = []
+    frame_idx = 0
+    for r in range(n_rounds):
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            ts = frame_idx / 30.0
+            pipe.process_frame(rgbs[i], depths[i], ts)
+            frame_idx += 1
+        float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
+        dt = time.perf_counter() - t0
+        fps = n_frames / dt
+        nodes_now = pipe.manager.n_nodes
+        chunk_fps.append((nodes_now, fps))
+        print(f"[bench] fr2-scale chunk {r}: {fps:.2f} fps at "
+              f"{nodes_now} nodes", file=sys.stderr)
+    t0 = time.perf_counter()
+    pipe.params.set("pose_relative_to", "first")
+    chi2 = pipe.manager.optimize(blocking=True)
+    opt_s = time.perf_counter() - t0
+    stats = pipe.manager.statistics()
+    print(f"[bench] fr2-scale final optimize ({stats['nodes']} nodes, "
+          f"{stats['active_edges']} edges, PCG): {opt_s:.1f}s chi2={chi2:.1f}",
+          file=sys.stderr)
+    return dict(nodes=stats["nodes"], edges=stats["active_edges"],
+                chunk_fps=chunk_fps, opt_s=opt_s)
 
 
 def _stage_table(pipe, rgbs, depths):
@@ -175,7 +240,8 @@ def _stage_table(pipe, rgbs, depths):
     m = pipe.manager
     t0 = time.perf_counter()
     for _ in range(10):
-        cpt_np = compact_frame(rgbs[-1], depths[-1], m.emm_stride)
+        cpt_np = compact_frame(rgbs[-1], depths[-1], m.emm_stride,
+                               fmt=m.ingest_fmt)
     t_compact = (time.perf_counter() - t0) / 10 * 1e3
 
     def fence():
@@ -205,8 +271,8 @@ def _stage_table(pipe, rgbs, depths):
 
     print(
         f"[bench] stage budget: host compact {t_compact:.1f} ms, "
-        f"h2d {h2d:.1f} ms ({nb/1e6:.2f} MB compact), "
-        f"slam_step {step:.1f} ms (extract+compare+commit, fence incl), "
+        f"h2d {h2d:.1f} ms ({nb/1e6:.2f} MB {m.ingest_fmt}), "
+        f"slam step {step:.1f} ms (compute+commit, fence incl), "
         f"online optimize dispatch {opt_disp:.1f} ms / complete {opt_wall:.1f} ms",
         file=sys.stderr,
     )

@@ -35,6 +35,11 @@ PARAM_DEFS = [
     _p("feature_extractor_type", "ORB", "ORB or SIFT descriptor"),
     _p("max_keypoints", 600, "fixed keypoint budget per frame (static shape)"),
     _p("min_keypoints", 50, "warn below this many valid keypoints"),
+    _p("adjuster_max_iterations", 5,
+       "adaptive detection ladder depth: halve the FAST threshold (one "
+       "cached compiled variant per rung) while depth-valid corners fall "
+       "below max(min_keypoints, max_keypoints/2); 0 disables "
+       "(DetectorAdjuster parity, feature_adjuster.cpp:131-175)"),
     _p("detector_grid_resolution", 3, "detect per grid cell (NxN) to spread keypoints"),
     _p("squareroot_descriptor_space", True, "RootSIFT: compare SIFT in sqrt(L1) space"),
     _p("max_matches", 300, "keep strongest N matches (static shape)"),
@@ -129,6 +134,12 @@ PARAM_DEFS = [
     _p("tpu_frames_per_step", 1,
        "[tpu] frames fused into one device dispatch (1 or 2; 2 halves the "
        "per-frame dispatch/transfer round-trips on high-latency links)"),
+    _p("tpu_ingest_format", "yc12",
+       "[tpu] wire format of the per-frame ingest buffer: yc12 (Y + 12-bit "
+       "stride-s depth + 4:2:0 chroma, 0.46 MB/frame) | raw (u16 depth + "
+       "stride-s RGB, 1.15 MB/frame). The tunnel link (~40 MB/s) makes the "
+       "payload size the throughput bound; falls back to raw when the frame "
+       "size is not divisible by 2x the cloud stride"),
     _p("tpu_retrieval_min_matches", 10,
        "[tpu] min descriptor hits for a deferred appearance-retrieval "
        "candidate (fast-path analog of the ratio-test retrieval gate)"),

@@ -80,10 +80,11 @@ def compare_to_candidates(
     cam_cy: float = 239.5,
 ) -> CompareResult:
     B = cand_idx.shape[0]
+    h, w = cam_small.height, cam_small.width
     c_desc = store.desc[cand_idx]  # (B, K, D)
     c_xyz = store.xyz[cand_idx]
     c_val = store.kp_valid[cand_idx]
-    c_depth = store.depth[cand_idx]  # (B, h, w)
+    c_depth = store.depth[cand_idx].reshape(B, h, w)  # rows stored flat
 
     # ---- matching: B batched exact knn2 + ratio + dedup --------------------
     # The store may hold descriptors in a different dtype (tpu_descriptor_dtype)
@@ -126,7 +127,7 @@ def compare_to_candidates(
     new_points = backproject_grid(new_depth_small, cam_small)
     new_valid = new_depth_small > 0
     new_lohi = emm_pool_maps(new_depth_small)
-    c_lohi = store.emm_lohi[cand_idx]  # (B, h, w) packed f16 pairs
+    c_lohi = store.emm_lohi[cand_idx].reshape(B, h, w)  # packed f16 pairs
 
     def emm_one(T, cdepth, clohi):
         # direction 1: new points into candidate camera (old_T_new = T)

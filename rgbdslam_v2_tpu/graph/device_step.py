@@ -60,6 +60,7 @@ _STEP_STATICS = (
     "cam",
     "cam_small",
     "stride",
+    "ingest_fmt",
     "min_depth",
     "max_depth",
     "max_matches",
@@ -81,7 +82,7 @@ _STEP_STATICS = (
 )
 
 
-def _step_body(
+def _compute_body(
     store: NodeStore,
     graph: GraphState,
     packed,  # (N,) uint8 — ONE packed ingest buffer (manager.compact_frame)
@@ -90,13 +91,13 @@ def _step_body(
     cand_idx,  # (B,) int32
     cand_dup,  # (B,) bool — True for padding duplicates (masked out)
     cand_dt,  # (B,) float32 — |t_new - t_cand| per candidate
-    edge_start,  # () int32 — B+1 pre-allocated slots
     seed,  # () uint32 — RNG derived in-program (host-side key ops cost ~3 ms)
     # --- static config ---
     extractor=None,
     cam: Intrinsics = None,
     cam_small: Intrinsics = None,
     stride: int = 2,
+    ingest_fmt: str = "yc12",
     min_depth: float = 0.1,
     max_depth: float = 10.0,
     max_matches: int = 300,
@@ -121,7 +122,7 @@ def _step_body(
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     kp, depth_small, color_small = _prepare_and_extract(
         extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-        packed
+        packed, fmt=ingest_fmt
     )
     res = compare_to_candidates(
         kp,
@@ -186,21 +187,77 @@ def _step_body(
     )
     e_active = jnp.concatenate([accept, fallback[None]])
 
-    # ---- commit (donated, in-place) ----------------------------------------
-    sl = jnp.arange(B + 1) + edge_start
     from ..ops.emm import emm_pool_maps
 
-    ch, cw = store.color.shape[1:3]
-    store = store._replace(
-        uv=store.uv.at[new_id].set(kp.uv),
-        xyz=store.xyz.at[new_id].set(kp.xyz),
-        desc=store.desc.at[new_id].set(kp.desc.astype(store.desc.dtype)),
-        kp_valid=store.kp_valid.at[new_id].set(kp.valid),
-        depth=store.depth.at[new_id].set(depth_small),
-        emm_lohi=store.emm_lohi.at[new_id].set(emm_pool_maps(depth_small)),
-        color=store.color.at[new_id].set(color_small[:ch, :cw]),
-    )
     new_pose = graph.poses[base_id] @ base_T_new
+    rows = NodeRows(
+        uv=kp.uv,
+        xyz=kp.xyz,
+        desc=kp.desc.astype(store.desc.dtype),
+        kp_valid=kp.valid,
+        depth=jnp.reshape(depth_small, (-1,)),
+        emm_lohi=jnp.reshape(emm_pool_maps(depth_small), (-1,)),
+        color=store.color_row(color_small),
+    )
+    summary = jnp.concatenate(
+        [
+            accept.astype(jnp.float32),
+            res.n_inliers.astype(jnp.float32),
+            res.rmse,
+            res.emm_quality,
+            fallback.astype(jnp.float32)[None],
+            kp.count().astype(jnp.float32)[None],
+        ]
+    )
+    return rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary
+
+
+class NodeRows(NamedTuple):
+    """One node's store row set, produced by the compute program and
+    consumed by the commit program."""
+
+    uv: "object"
+    xyz: "object"
+    desc: "object"
+    kp_valid: "object"
+    depth: "object"
+    emm_lohi: "object"
+    color: "object"
+
+
+def _commit_body(
+    store: NodeStore,
+    graph: GraphState,
+    rows: NodeRows,
+    new_pose,  # (4, 4)
+    new_id,  # () int32
+    edge_start,  # () int32
+    e_i,  # (B+1,) int32
+    e_j,
+    e_meas,
+    e_info,
+    e_active,
+):
+    """Write one node + its edge batch into the donated state.
+
+    Kept as a SEPARATE device program from the compute body: a program that
+    both gathers from and scatters into the same donated buffer makes XLA's
+    copy insertion materialize a defensive full-buffer copy (store.depth +
+    store.emm_lohi alone are 2 x 314 MB ~ 2 ms/frame of HBM traffic; an
+    in-program optimization_barrier did not elide them). This program only
+    scatters, so donation aliases every buffer and the writes are O(row).
+    """
+    B1 = e_i.shape[0]
+    sl = jnp.arange(B1) + edge_start
+    store = store._replace(
+        uv=store.uv.at[new_id].set(rows.uv),
+        xyz=store.xyz.at[new_id].set(rows.xyz),
+        desc=store.desc.at[new_id].set(rows.desc),
+        kp_valid=store.kp_valid.at[new_id].set(rows.kp_valid),
+        depth=store.depth.at[new_id].set(rows.depth),
+        emm_lohi=store.emm_lohi.at[new_id].set(rows.emm_lohi),
+        color=store.color.at[new_id].set(rows.color),
+    )
     graph = graph._replace(
         poses=graph.poses.at[new_id].set(new_pose),
         node_active=graph.node_active.at[new_id].set(True),
@@ -214,22 +271,48 @@ def _step_body(
         ),
         edge_active=graph.edge_active.at[sl].set(e_active | graph.edge_active[sl]),
     )
-    packed = jnp.concatenate(
-        [
-            accept.astype(jnp.float32),
-            res.n_inliers.astype(jnp.float32),
-            res.rmse,
-            res.emm_quality,
-            fallback.astype(jnp.float32)[None],
-            kp.count().astype(jnp.float32)[None],
-        ]
+    return store, graph
+
+
+def _step_body(
+    store: NodeStore,
+    graph: GraphState,
+    packed,
+    new_id,
+    pred_id,
+    cand_idx,
+    cand_dup,
+    cand_dt,
+    edge_start,
+    seed,
+    **cfg,
+):
+    """Fused single-program step (compute + commit) — used by slam_step2;
+    the manager's per-frame fast path dispatches slam_compute + slam_commit
+    instead (see _commit_body's docstring for why)."""
+    rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary = _compute_body(
+        store, graph, packed, new_id, pred_id, cand_idx, cand_dup, cand_dt,
+        seed, **cfg,
     )
-    return store, graph, packed
+    store, graph = _commit_body(
+        store, graph, rows, new_pose, new_id, edge_start,
+        e_i, e_j, e_meas, e_info, e_active,
+    )
+    return store, graph, summary
 
 
 slam_step = functools.partial(
     jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(0, 1)
 )(_step_body)
+
+# Split-program fast path: compute READS the state (no donation — outputs
+# are small row/edge arrays), commit SCATTERS into donated state (aliases
+# in-place, no defensive copies). Queued back to back they execute in order
+# on the device; the host never syncs between them.
+slam_compute = functools.partial(jax.jit, static_argnames=_STEP_STATICS)(
+    _compute_body
+)
+slam_commit = jax.jit(_commit_body, donate_argnums=(0, 1))
 
 
 @functools.partial(

@@ -50,19 +50,61 @@ EDGE_CONST_POSITION = 3
 DEPTH_SCALE = 5000.0  # TUM PNG quantization: depth_meters = png_u16 / 5000
 
 
-def compact_frame(rgb, depth, stride: int):
-    """Host-side ingest compaction: (rgb u8 HxWx3, depth f32|u16 HxW) ->
-    ONE packed uint8 buffer [gray u8 HxW | depth u16-le HxW | color u8
-    (H/s)x(W/s)x3].
+_D12_LUT = None
 
-    One buffer means ONE device_put per frame — each transfer through the
-    tunnel pays a fixed round-trip, so 3 puts cost ~3x the latency of 1.
-    The compact form is 1.15 MB vs 2.1 MB raw (gray for features — the
-    reference converts to grayscale anyway, node.cpp:101-240 — u16 depth at
-    TUM's own 1/5000 quantization, color already at the cloud stride);
-    _unpack_compact slices it apart on device inside the step program."""
+
+def _d12_lut():
+    """u16 depth count -> 12-bit sqrt code: q = round(sqrt(256 * d16)).
+
+    Decode d16' = q^2 / 256 — relative error <= sqrt(d16)/8 counts
+    (1.3 mm at 3 m, 2.5 mm at 10 m at the TUM 1/5000 scale), 20-70x below
+    the sensor's 0.01 z^2 noise floor. Monotone, 0 -> 0 (invalid stays
+    invalid)."""
+    global _D12_LUT
+    if _D12_LUT is None:
+        d = np.arange(65536, dtype=np.float64)
+        _D12_LUT = np.clip(np.round(np.sqrt(d * 256.0)), 0, 4095).astype(
+            np.uint16
+        )
+    return _D12_LUT
+
+
+def _pack12(q: np.ndarray) -> np.ndarray:
+    """(N,) u12-in-u16, N even -> (3N/2,) u8 little-endian nibble packing."""
+    a = q.reshape(-1, 2)
+    lo = a[:, 0].astype(np.uint32)
+    hi = a[:, 1].astype(np.uint32)
+    out = np.empty((a.shape[0], 3), np.uint8)
+    out[:, 0] = lo & 0xFF
+    out[:, 1] = ((lo >> 8) & 0x0F) | ((hi & 0x0F) << 4)
+    out[:, 2] = hi >> 4
+    return out.reshape(-1)
+
+
+def compact_frame(rgb, depth, stride: int, fmt: str = "yc12"):
+    """Host-side ingest compaction into ONE packed uint8 buffer.
+
+    One buffer means ONE transfer per frame — each h2d through the tunnel
+    pays a fixed round-trip, and the tunnel link runs at ~40 MB/s, so the
+    payload size directly bounds throughput (the reference ships nothing:
+    its sensor DMA lands in host RAM, node.cpp:101-240; a TPU has to ship
+    the frame over the wire, so the wire format IS the ingest design).
+
+    fmt="yc12" (459 KB at 640x480/s2 vs 1.15 MB raw, 2.1 MB naive):
+      [Y u8 HxW | depth12 (H/s)(W/s)*1.5 | Cb u8 (H/2s)(W/2s) | Cr ...]
+      - Y (gray) full-res: the feature detector's input; also the luma of
+        the reconstructed export color (one plane serves both).
+      - depth 12-bit sqrt-coded at the cloud stride s: EMM/clouds use
+        stride-s depth anyway; feature depth reads the stride-s cell
+        (quantization error mm-scale, see _d12_lut).
+      - chroma at stride 2s, upsampled on device (4:2:0-style): export
+        color is visualization-only.
+    fmt="raw": [gray u8 | depth u16 full | color u8 at stride] — lossless
+    fallback (odd frame sizes, precision studies).
+    """
     rgb = np.asarray(rgb)
     depth = np.asarray(depth)
+    H, W = depth.shape
     if rgb.ndim == 3:
         try:  # cv2's SIMD cvtColor is ~20x the numpy reduction (14 -> 0.7 ms)
             import cv2
@@ -73,20 +115,40 @@ def compact_frame(rgb, depth, stride: int):
             gray8 = (
                 (r16[..., 0] * 77 + r16[..., 1] * 150 + r16[..., 2] * 29) >> 8
             ).astype(np.uint8)
-        color_small = np.ascontiguousarray(rgb[::stride, ::stride])
     else:
         gray8 = (
             rgb if rgb.dtype == np.uint8
             else np.clip(rgb * (255.0 if rgb.dtype.kind == "f" else 1.0), 0, 255).astype(np.uint8)
-        )
-        color_small = np.zeros(
-            (depth[::stride].shape[0], depth[0, ::stride].shape[0], 3), np.uint8
         )
     if depth.dtype == np.uint16:
         d16 = depth
     else:
         d = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
         d16 = np.clip(d * DEPTH_SCALE, 0, 65535).astype(np.uint16)
+
+    if fmt == "yc12":
+        d12 = _pack12(_d12_lut()[d16[::stride, ::stride]].reshape(-1))
+        cs = 2 * stride
+        if rgb.ndim == 3:
+            sub = rgb[::cs, ::cs].astype(np.float32)
+            r, g, b = sub[..., 0], sub[..., 1], sub[..., 2]
+            cb = np.clip(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b, 0, 255)
+            cr = np.clip(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b, 0, 255)
+            cb = cb.astype(np.uint8)
+            cr = cr.astype(np.uint8)
+        else:
+            cb = np.full((H // cs, W // cs), 128, np.uint8)
+            cr = np.full((H // cs, W // cs), 128, np.uint8)
+        return np.concatenate(
+            [gray8.reshape(-1), d12, cb.reshape(-1), cr.reshape(-1)]
+        )
+
+    if rgb.ndim == 3:
+        color_small = np.ascontiguousarray(rgb[::stride, ::stride])
+    else:
+        color_small = np.zeros(
+            (depth[::stride].shape[0], depth[0, ::stride].shape[0], 3), np.uint8
+        )
     return np.concatenate([
         gray8.reshape(-1),
         np.ascontiguousarray(d16).view(np.uint8).reshape(-1),
@@ -95,9 +157,9 @@ def compact_frame(rgb, depth, stride: int):
 
 
 def _unpack_compact(packed, H: int, W: int, stride: int):
-    """Device-side inverse of compact_frame: packed u8 -> (gray u8 (H,W),
-    depth u16 (H,W), color u8 (h,w,3)). Pure slicing/bitcast — fuses into
-    the consuming program for free."""
+    """Device-side inverse of compact_frame(fmt="raw"): packed u8 ->
+    (gray u8 (H,W), depth u16 (H,W), color u8 (h,w,3)). Pure slicing/bitcast
+    — fuses into the consuming program for free."""
     n_gray = H * W
     n_depth = 2 * H * W
     h = (H + stride - 1) // stride
@@ -111,23 +173,75 @@ def _unpack_compact(packed, H: int, W: int, stride: int):
     return gray8, depth16, color
 
 
+def _unpack_yc12(packed, H: int, W: int, stride: int):
+    """Device-side inverse of compact_frame(fmt="yc12"): packed u8 ->
+    (gray u8 (H,W), depth_small f32 meters (h,w), color u8 (h,w,3)).
+
+    Depth: 12-bit sqrt codes -> d16 = q^2/256 -> meters. Color: Y from the
+    stride-s gray plane + Cb/Cr nearest-upsampled from stride 2s (BT.601
+    inverse) — all elementwise, fuses into the step program."""
+    n_gray = H * W
+    h, w = H // stride, W // stride
+    n_d12 = (h * w // 2) * 3
+    hc, wc = H // (2 * stride), W // (2 * stride)
+    gray8 = packed[:n_gray].reshape(H, W)
+    b = packed[n_gray : n_gray + n_d12].reshape(-1, 3).astype(jnp.uint32)
+    q0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
+    q1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+    q = jnp.stack([q0, q1], axis=-1).reshape(h, w).astype(jnp.float32)
+    depth_small = q * q * jnp.float32(1.0 / (256.0 * DEPTH_SCALE))
+    off = n_gray + n_d12
+    cb = packed[off : off + hc * wc].reshape(hc, wc).astype(jnp.float32)
+    cr = packed[off + hc * wc : off + 2 * hc * wc].reshape(hc, wc).astype(
+        jnp.float32
+    )
+    y = gray8[::stride, ::stride].astype(jnp.float32)
+    cb2 = jnp.repeat(jnp.repeat(cb, 2, 0), 2, 1)[:h, :w] - 128.0
+    cr2 = jnp.repeat(jnp.repeat(cr, 2, 0), 2, 1)[:h, :w] - 128.0
+    r = y + 1.402 * cr2
+    g = y - 0.344136 * cb2 - 0.714136 * cr2
+    bch = y + 1.772 * cb2
+    color = jnp.clip(
+        jnp.stack([r, g, bch], axis=-1), 0.0, 255.0
+    ).astype(jnp.uint8)
+    return gray8, depth_small, color
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("extractor", "cam", "stride", "min_depth", "max_depth",
-                     "use_feature_min_depth"),
+                     "use_feature_min_depth", "fmt"),
 )
 def _prepare_and_extract(
     extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-    packed
+    packed, fmt: str = "yc12"
 ):
     """Fused per-frame device prep on the PACKED compact ingest buffer:
-    unpack (slice/bitcast), u8 gray -> f32, u16 depth -> meters + masking,
+    unpack (slice/bitcast), u8 gray -> f32, depth decode -> meters + masking,
     feature depth plane, keypoint extraction — ONE dispatch, ONE h2d."""
     from ..models.orb import feature_depth_map
 
-    gray8, depth16, color_small = _unpack_compact(
-        packed, cam.height, cam.width, stride
-    )
+    H, W = cam.height, cam.width
+    if fmt == "yc12":
+        gray8, depth_m, color_small = _unpack_yc12(packed, H, W, stride)
+        valid_s = (depth_m > min_depth) & (depth_m < max_depth)
+        depth_small = jnp.where(valid_s, depth_m, 0.0)
+        # feature depth reads the stride-s cell (nearest upsample); the
+        # reference reads the full-res center pixel (node.cpp:940-944) —
+        # the difference is the intra-cell depth gradient, mm-scale off
+        # discontinuities, and depth-invalid cells stay invalid
+        depth_full = jnp.repeat(
+            jnp.repeat(depth_small, stride, 0), stride, 1
+        )[:H, :W]
+        valid_full = depth_full > 0
+        gray = gray8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        kp = extractor(
+            gray,
+            feature_depth_map(depth_full, valid_full, use_feature_min_depth),
+            cam,
+        )
+        return kp, depth_small, color_small
+    gray8, depth16, color_small = _unpack_compact(packed, H, W, stride)
     depth = depth16.astype(jnp.float32) * jnp.float32(1.0 / DEPTH_SCALE)
     valid = (depth > min_depth) & (depth < max_depth)
     depth = jnp.where(valid, depth, 0.0)
@@ -160,15 +274,16 @@ def _commit_node(
     """
     from ..ops.emm import emm_pool_maps
 
-    ch, cw = store.color.shape[1:3]
     store = store._replace(
         uv=store.uv.at[new_id].set(kp.uv),
         xyz=store.xyz.at[new_id].set(kp.xyz),
         desc=store.desc.at[new_id].set(kp.desc.astype(store.desc.dtype)),
         kp_valid=store.kp_valid.at[new_id].set(kp.valid),
-        depth=store.depth.at[new_id].set(depth_small),
-        emm_lohi=store.emm_lohi.at[new_id].set(emm_pool_maps(depth_small)),
-        color=store.color.at[new_id].set(color_small[:ch, :cw]),
+        depth=store.depth.at[new_id].set(jnp.reshape(depth_small, (-1,))),
+        emm_lohi=store.emm_lohi.at[new_id].set(
+            jnp.reshape(emm_pool_maps(depth_small), (-1,))
+        ),
+        color=store.color.at[new_id].set(store.color_row(color_small)),
     )
     new_pose = graph.poses[base_id] @ base_T_new
     B = e_i.shape[0]
@@ -302,6 +417,15 @@ class GraphManager:
         self.cand_batch = p["tpu_candidate_batch"]
         self.emm_stride = p["cloud_creation_skip_step"]
         s = self.emm_stride
+        self.ingest_fmt = p["tpu_ingest_format"]
+        if self.ingest_fmt == "yc12" and (
+            cam.height % (2 * s) or cam.width % (2 * s)
+        ):
+            logger.warning(
+                "frame %dx%d not divisible by 2*stride=%d; ingest falls "
+                "back to raw", cam.width, cam.height, 2 * s
+            )
+            self.ingest_fmt = "raw"
         self.cam_small = Intrinsics(
             fx=cam.fx / s,
             fy=cam.fy / s,
@@ -398,6 +522,16 @@ class GraphManager:
         self._jit_extract = jax.jit(
             lambda g, d: self.extractor(g, d, self.cam)
         )
+        # Adaptive detection (DetectorAdjuster analog,
+        # feature_adjuster.cpp:131-175): the FAST threshold is a compile-time
+        # constant of the fused detect kernel, so instead of continuous
+        # adjustment (a recompile per value) the threshold moves on a ladder
+        # of halvings below the configured base — at most adjuster_max_
+        # iterations rungs, each a cached compiled variant. Feedback is the
+        # drained n_valid_kp summary (zero extra syncs on the fast path).
+        self._base_threshold = getattr(self.extractor, "fast_threshold", None)
+        self._extractor_rungs: Dict[float, object] = {}
+        self._sharded_cmp = None  # mesh-sharded compare (tpu_mesh_devices>1)
         # fast-path (device-decided) bookkeeping
         self._pending = []  # (new_id, padded_cand_ids, summary)
         self._retrieval_scores = None  # deferred appearance retrieval (id, counts)
@@ -638,7 +772,8 @@ class GraphManager:
         """
         p = self.params
         if compact is None:
-            compact = compact_frame(rgb, depth, self.emm_stride)
+            compact = compact_frame(rgb, depth, self.emm_stride,
+                                    fmt=self.ingest_fmt)
 
         new_id0 = self.n_nodes
         # ---- fast path: whole step decided and committed on device --------
@@ -663,6 +798,7 @@ class GraphManager:
             p["maximum_depth"],
             p["use_feature_min_depth"],
             jnp.asarray(compact),
+            fmt=self.ingest_fmt,
         )
 
         eye4 = np.eye(4, dtype=np.float32)
@@ -719,30 +855,16 @@ class GraphManager:
         padded = (cand_ids + [cand_ids[0]] * B)[:B]
         cand_idx = jnp.asarray(padded, jnp.int32)
 
-        res: CompareResult = compare_to_candidates(
-            kp,
-            depth_small,
-            self.store,
-            cand_idx,
-            self._next_key(),
-            self.cam_small,
-            cam_fx=self.cam.fx,
-            cam_fy=self.cam.fy,
-            max_matches=p["max_matches"],
-            ratio=p["nn_distance_ratio"],
-            n_hypotheses=p["ransac_iterations"],
-            max_mahal_sq=p["max_dist_for_inliers"] ** 2,
-            min_inliers=p["min_matches"],
-            emm_skip=p["emm_skip_step"],
-            sigma_depth=p["sigma_depth"],
-            sample_size=p["sample_candidates"],
-            refine_iterations=p["refine_iterations"],
-            projective_iterations=p["g2o_transformation_refinement"],
-            cam_cx=self.cam.cx,
-            cam_cy=self.cam.cy,
+        res: CompareResult = self._compare_dispatch(
+            kp, depth_small, cand_idx, self._next_key()
         )
-        # Pull scalars to host in ONE transfer.
-        host = jax.device_get(res)
+        # Pull scalars to host in ONE transfer (kp count rides along for the
+        # detector adjuster when enabled).
+        if self._base_threshold is not None and p["adjuster_max_iterations"] > 0:
+            host, n_kp = jax.device_get((res, kp.count()))
+            self._adapt_detector(int(n_kp))
+        else:
+            host = jax.device_get(res)
         T_all = host.transform
         n_inl = host.n_inliers
         rmse = host.rmse
@@ -932,6 +1054,7 @@ class GraphManager:
             cam=self.cam,
             cam_small=self.cam_small,
             stride=self.emm_stride,
+            ingest_fmt=self.ingest_fmt,
             min_depth=p["minimum_depth"],
             max_depth=p["maximum_depth"],
             max_matches=p["max_matches"],
@@ -1062,7 +1185,7 @@ class GraphManager:
 
         compact: packed u8 ingest buffer (compact_frame); numpy or an
         already-device_put array (the pipeline prefetches it)."""
-        from .device_step import slam_step
+        from .device_step import slam_commit, slam_compute
 
         p = self.params
         B = self.cand_batch
@@ -1074,19 +1197,26 @@ class GraphManager:
         # All small args go in as NUMPY values: eager jnp.asarray on the host
         # dispatches one tiny device op per argument (~1 ms each through the
         # tunnel); jit bundles numpy args into the call instead.
+        # TWO queued dispatches: compute (reads state) then commit (donated
+        # scatter-only) — see device_step._commit_body for why the split.
         self._seed_counter += 1
-        self.store, self.graph, summary = slam_step(
-            self.store,
-            self.graph,
-            compact,
-            np.int32(new_id),
-            np.int32(pred_id),
-            np.asarray(padded, np.int32),
-            np.asarray(dup, bool),
-            np.asarray(dts, np.float32),
-            np.int32(edge_start),
-            np.uint32(self._seed_counter),
-            **self._step_cfg(),
+        rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary = \
+            slam_compute(
+                self.store,
+                self.graph,
+                compact,
+                np.int32(new_id),
+                np.int32(pred_id),
+                np.asarray(padded, np.int32),
+                np.asarray(dup, bool),
+                np.asarray(dts, np.float32),
+                np.uint32(self._seed_counter),
+                **self._step_cfg(),
+            )
+        self.store, self.graph = slam_commit(
+            self.store, self.graph, rows, new_pose,
+            np.int32(new_id), np.int32(edge_start),
+            e_i, e_j, e_meas, e_info, e_active,
         )
         # Reserve the B+1 slots; host lists fill at drain time.
         self.n_edges = edge_start + B + 1
@@ -1199,6 +1329,88 @@ class GraphManager:
                 if self.keyframes[-1] != pred_id:
                     self.keyframes.append(pred_id)
             self._maybe_clear_non_keyframes(new_id)
+            # adaptive detection feedback (newest drained frame's count)
+            self._adapt_detector(s.n_valid_kp)
+
+    # ------------------------------------------------------------------
+    def _compare_kwargs(self) -> dict:
+        p = self.params
+        return dict(
+            cam_fx=self.cam.fx,
+            cam_fy=self.cam.fy,
+            max_matches=p["max_matches"],
+            ratio=p["nn_distance_ratio"],
+            n_hypotheses=p["ransac_iterations"],
+            max_mahal_sq=p["max_dist_for_inliers"] ** 2,
+            min_inliers=p["min_matches"],
+            emm_skip=p["emm_skip_step"],
+            sigma_depth=p["sigma_depth"],
+            sample_size=p["sample_candidates"],
+            refine_iterations=p["refine_iterations"],
+            projective_iterations=p["g2o_transformation_refinement"],
+            cam_cx=self.cam.cx,
+            cam_cy=self.cam.cy,
+        )
+
+    def _compare_dispatch(self, kp, depth_small, cand_idx, key) -> CompareResult:
+        """Candidate comparison, optionally sharded over a device mesh.
+
+        tpu_mesh_devices > 1 routes the candidate axis through
+        parallel.sharded_compare (shard_map over the "c" axis of a 1-D
+        mesh — the ICI scale axis of the frontend, SURVEY §2.3); the
+        candidate batch must divide evenly over the mesh. Single-device
+        (default) calls the local batched kernel."""
+        n_mesh = self.params["tpu_mesh_devices"]
+        if n_mesh > 1 and self.cand_batch % n_mesh == 0:
+            if self._sharded_cmp is None:
+                from ..parallel import candidate_mesh
+                from ..parallel.sharded import sharded_compare
+
+                mesh = candidate_mesh(n_mesh)
+                kw = self._compare_kwargs()
+                cam_small = self.cam_small
+                self._sharded_cmp = jax.jit(
+                    lambda kp, ds, store, ci, key: sharded_compare(
+                        mesh, kp, ds, store, ci, key, cam_small, **kw
+                    )
+                )
+            return self._sharded_cmp(
+                kp, depth_small, self.store, cand_idx, key
+            )
+        return compare_to_candidates(
+            kp, depth_small, self.store, cand_idx, key, self.cam_small,
+            **self._compare_kwargs(),
+        )
+
+    # ------------------------------------------------------------------
+    def _adapt_detector(self, n_valid_kp: int):
+        """Stateful low-texture adaptation (DetectorAdjuster semantics,
+        feature_adjuster.cpp:131-175): too few depth-valid corners -> halve
+        the FAST threshold for the NEXT frames; saturated detection ->
+        step back toward the configured base. Ladder depth is bounded by
+        adjuster_max_iterations (0 disables, like the reference's
+        non-adjustable detectors)."""
+        p = self.params
+        max_rungs = p["adjuster_max_iterations"]
+        if self._base_threshold is None or max_rungs <= 0:
+            return
+        t = self.extractor.fast_threshold
+        low_bar = max(p["min_keypoints"], self.k_cap // 2)
+        new_t = t
+        if n_valid_kp < low_bar:
+            floor = self._base_threshold * (0.5 ** max_rungs)
+            new_t = max(t * 0.5, floor)
+        elif n_valid_kp >= self.k_cap and t < self._base_threshold:
+            new_t = min(t * 2.0, self._base_threshold)
+        if new_t == t:
+            return
+        ext = self._extractor_rungs.get(new_t)
+        if ext is None:
+            ext = dataclasses.replace(self.extractor, fast_threshold=new_t)
+            self._extractor_rungs[new_t] = ext
+        logger.info("detector threshold %.4f -> %.4f (%d valid keypoints)",
+                    t, new_t, n_valid_kp)
+        self.extractor = ext
 
     # ------------------------------------------------------------------
     def _geodesic_set(self, start: int, depth: int) -> Set[int]:
@@ -1474,7 +1686,9 @@ class GraphManager:
         out = _icp_rescue_kernel(
             jnp.asarray(seed_T, jnp.float32),
             depth_small,
-            self.store.depth[cand_id],
+            self.store.depth[cand_id].reshape(
+                self.cam_small.height, self.cam_small.width
+            ),
             self.cam_small,
             int(p["icp_max_iterations"]),
             p["emm_skip_step"],

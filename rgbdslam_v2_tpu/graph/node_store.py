@@ -21,12 +21,19 @@ class NodeStore(NamedTuple):
 
     Feature data (K = keypoint capacity, D = descriptor width):
       uv (N, K, 2) f32 | xyz (N, K, 3) f32 | desc (N, K, D) | valid (N, K) bool
-    EMM data at stride s (h = H/s, w = W/s):
-      depth (N, h, w) f32  — 0 where invalid
-      emm_lohi (N, h, w) uint32 — precomputed 5x5 [min|max] depth pools,
+    EMM data at stride s (h = H/s, w = W/s) — ALL grid planes stored FLAT,
+    one row per node (readers reshape after the gather, writers flatten
+    before the scatter; both are free on contiguous rows):
+      depth (N, h*w) f32  — 0 where invalid
+      emm_lohi (N, h*w) uint32 — precomputed 5x5 [min|max] depth pools,
         f16-packed (ops/emm.emm_pool_maps); candidate EMM validation is then
         ONE gather per point, no per-candidate reduce_windows
-      color (N, h, w, 3) uint8 — for mapping/export
+      color (N, h*w*3) uint8 — for mapping/export.
+    Why flat: with (N, h, w) shapes XLA's layout assignment let the commit
+    program's row scatter pick a node-minor {0,2,1} layout for the buffer,
+    and every compute call then paid a full-buffer relayout copy before the
+    gather (2 x 314 MB ~ 2 ms/frame); a 2-D row-major store is the one
+    layout both access patterns want.
     """
 
     uv: jnp.ndarray
@@ -49,43 +56,49 @@ class NodeStore(NamedTuple):
         store_color: bool = True,
     ) -> "NodeStore":
         """store_color=False (param store_pointclouds) shrinks the color
-        plane to 1x1 — depth is always kept (EMM needs it), but the HBM for
-        export colors (~h*w*3 bytes/node) is not allocated."""
-        ch, cw = (emm_h, emm_w) if store_color else (1, 1)
+        plane to 3 bytes/node — depth is always kept (EMM needs it), but the
+        HBM for export colors (~h*w*3 bytes/node) is not allocated."""
+        color_len = emm_h * emm_w * 3 if store_color else 3
         return cls(
             uv=jnp.zeros((n_cap, k_cap, 2), jnp.float32),
             xyz=jnp.zeros((n_cap, k_cap, 3), jnp.float32),
             desc=jnp.zeros((n_cap, k_cap, desc_dim), desc_dtype),
             kp_valid=jnp.zeros((n_cap, k_cap), bool),
-            depth=jnp.zeros((n_cap, emm_h, emm_w), jnp.float32),
+            depth=jnp.zeros((n_cap, emm_h * emm_w), jnp.float32),
             # packed f16 [lo=+inf | hi=-inf] — the emm_pool_maps encoding of
             # an all-invalid depth row, so an uncommitted row decodes as
             # "unobserved" (isfinite(lo)=False) exactly like the on-the-fly
             # path, not as a spurious z=0 occluder
-            emm_lohi=jnp.full((n_cap, emm_h, emm_w), 0xFC007C00, jnp.uint32),
-            color=jnp.zeros((n_cap, ch, cw, 3), jnp.uint8),
+            emm_lohi=jnp.full((n_cap, emm_h * emm_w), 0xFC007C00, jnp.uint32),
+            color=jnp.zeros((n_cap, color_len), jnp.uint8),
         )
 
     @property
     def has_color(self) -> bool:
-        return self.color.shape[1] > 1
+        return self.color.shape[1] > 3
 
     @property
     def capacity(self) -> int:
         return self.uv.shape[0]
 
+    def color_row(self, color_small) -> "jnp.ndarray":
+        """(h, w, 3) ingest color -> the flat row this store commits (the
+        prefix slice only matters for store_color=False's 3-byte stub)."""
+        return jnp.reshape(color_small, (-1,))[: self.color.shape[1]]
+
     def insert(self, idx: int, kp: Keypoints, depth_small, color_small) -> "NodeStore":
         from ..ops.emm import emm_pool_maps
 
-        ch, cw = self.color.shape[1:3]
         return self._replace(
             uv=self.uv.at[idx].set(kp.uv),
             xyz=self.xyz.at[idx].set(kp.xyz),
             desc=self.desc.at[idx].set(kp.desc.astype(self.desc.dtype)),
             kp_valid=self.kp_valid.at[idx].set(kp.valid),
-            depth=self.depth.at[idx].set(depth_small),
-            emm_lohi=self.emm_lohi.at[idx].set(emm_pool_maps(depth_small)),
-            color=self.color.at[idx].set(color_small[:ch, :cw]),
+            depth=self.depth.at[idx].set(jnp.reshape(depth_small, (-1,))),
+            emm_lohi=self.emm_lohi.at[idx].set(
+                jnp.reshape(emm_pool_maps(depth_small), (-1,))
+            ),
+            color=self.color.at[idx].set(self.color_row(color_small)),
         )
 
     def clear_features(self, idx) -> "NodeStore":

@@ -80,11 +80,16 @@ def match_descriptors(
     max_matches = min(max_matches, desc_a.shape[0])
     dist = descriptor_distances(desc_a, desc_b)  # (Ka, Kb)
     dist = jnp.where(valid_a[:, None] & valid_b[None, :], dist, _BIG)
-    # top-2 nearest train for each query (negate for top_k max semantics)
-    neg2, idx2 = jax.lax.top_k(-dist, 2)
-    d1 = -neg2[:, 0]
-    d2 = -neg2[:, 1]
-    nn = idx2[:, 0]
+    # top-2 nearest train per query as two masked min-reductions: top_k(k=2)
+    # lowers to a FULL variadic sort of the (Ka, Kb) matrix on TPU (~0.8 ms
+    # for 8x600x600 in the candidate batch); two passes over the matrix are
+    # pure VPU reductions at memory speed.
+    d1 = jnp.min(dist, axis=-1)
+    nn = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    cols = jnp.arange(dist.shape[-1], dtype=jnp.int32)
+    d2 = jnp.min(
+        jnp.where(cols[None, :] == nn[:, None], _BIG, dist), axis=-1
+    )
     ok = (d1 < ratio * d2) & (d1 < _BIG * 0.5) & valid_a
     # Best-per-train dedup: a query keeps its match only if it attains the
     # minimum passing distance for that train index.

@@ -131,6 +131,7 @@ class SlamPipeline:
         if not idxs:
             return
         stride = self.manager.emm_stride
+        fmt = self.manager.ingest_fmt
 
         pair = p["tpu_frames_per_step"] >= 2
         k = 0
@@ -143,7 +144,7 @@ class SlamPipeline:
             # tunnel: the direct argument is the fastest and the least
             # variable (the tunnel serializes transfer and compute anyway,
             # so prefetch buys nothing and extra dispatches cost latency).
-            cpt = compact_frame(rgbs[i], depths[i], stride)
+            cpt = compact_frame(rgbs[i], depths[i], stride, fmt=fmt)
             if (
                 pair
                 and not self.paused
@@ -152,7 +153,7 @@ class SlamPipeline:
             ):
                 # two frames fused into ONE device dispatch (slam_step2)
                 j = idxs[k + 1]
-                cpt2 = compact_frame(rgbs[j], depths[j], stride)
+                cpt2 = compact_frame(rgbs[j], depths[j], stride, fmt=fmt)
                 t0 = time.perf_counter()
                 self.manager.add_frame_pair(
                     cpt, float(stamps[i]), cpt2, float(stamps[j])
@@ -193,13 +194,14 @@ class SlamPipeline:
         skip0 = p["skip_first_n_frames"]
         step = max(1, p["data_skip_step"])
         stride = self.manager.emm_stride
+        fmt = self.manager.ingest_fmt
 
         def gen():
             count = 0
             for k, (ts, rgb, depth) in enumerate(frames):
                 if k < skip0 or (k - skip0) % step:
                     continue
-                yield ts, compact_frame(rgb, depth, stride)
+                yield ts, compact_frame(rgb, depth, stride, fmt=fmt)
                 count += 1
                 if max_frames and count >= max_frames:
                     return
@@ -234,12 +236,16 @@ class SlamPipeline:
                     # reference's bag writer records node images/clouds
                     # (graph_mgr_io.cpp:102-150); stored stride-s color +
                     # depth (meters f32) from the device store
-                    depth = np.asarray(mgr.store.depth[nid], np.float32)
+                    depth = np.asarray(mgr.store.depth[nid], np.float32).reshape(
+                        mgr.cam_small.height, mgr.cam_small.width
+                    )
                     bag.write_image(
                         self.params["topic_image_depth"], float(t), depth
                     )
                     if mgr.store.has_color:
-                        rgb = np.asarray(mgr.store.color[nid])
+                        rgb = np.asarray(mgr.store.color[nid]).reshape(
+                            mgr.cam_small.height, mgr.cam_small.width, 3
+                        )
                         bag.write_image(
                             self.params["topic_image_mono"], float(t), rgb
                         )
@@ -294,10 +300,11 @@ class SlamPipeline:
         from ..graph.manager import compact_frame
 
         stride = self.manager.emm_stride
+        fmt = self.manager.ingest_fmt
 
         def put(i):
             ts, rgb, depth = dataset.load(i)
-            return ts, compact_frame(rgb, depth, stride)
+            return ts, compact_frame(rgb, depth, stride, fmt=fmt)
 
         nxt = put(idxs[0])
         for k, i in enumerate(idxs):
@@ -387,7 +394,9 @@ class SlamPipeline:
         from ..core import se3 as _se3
 
         mgr = self.manager
-        depth = mgr.store.depth[node_id]
+        depth = mgr.store.depth[node_id].reshape(
+            mgr.cam_small.height, mgr.cam_small.width
+        )
         pts_cam = backproject_grid(depth, mgr.cam_small)
         pose = mgr.graph.poses[node_id]
         pts_w = _se3.apply(pose, pts_cam.reshape(-1, 3))

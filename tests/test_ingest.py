@@ -1,0 +1,109 @@
+"""Wire-format tests for the packed per-frame ingest (compact_frame).
+
+The yc12 format trades exactness for 2.5x fewer bytes on the tunnel link
+(the throughput bound): 12-bit sqrt-coded stride-s depth + 4:2:0 chroma.
+These tests pin the decode error budget and raw/yc12 behavioral parity.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from rgbdslam_v2_tpu.core.camera import Intrinsics
+from rgbdslam_v2_tpu.graph.manager import (
+    DEPTH_SCALE,
+    _d12_lut,
+    _pack12,
+    _prepare_and_extract,
+    _unpack_yc12,
+    compact_frame,
+)
+
+
+def _cam(h=120, w=160):
+    return Intrinsics(fx=130.0, fy=130.0, cx=w / 2, cy=h / 2, width=w, height=h)
+
+
+def test_d12_roundtrip_error_budget():
+    """Sqrt-coded 12-bit depth: absolute error <= sqrt(d16)/16 counts
+    (half a quantization step), i.e. mm-scale in meters."""
+    d16 = np.arange(0, 65536, 7, dtype=np.uint16)
+    q = _d12_lut()[d16].astype(np.float64)
+    back = q * q / 256.0
+    err_counts = np.abs(back - d16.astype(np.float64))
+    budget = np.maximum(np.sqrt(d16.astype(np.float64)) / 16.0, 0.51)
+    # the 12-bit code saturates at q=4095 <=> d16 ~ 65520 (z = 13.10 m at
+    # the TUM scale — beyond maximum_depth); below that the budget holds
+    in_range = d16 <= 65504
+    assert (err_counts[in_range] <= budget[in_range] + 1e-6).all()
+    # zero is exact (invalid stays invalid)
+    assert _d12_lut()[0] == 0
+
+
+def test_pack12_unpack_device_exact():
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 4096, 4800).astype(np.uint16)
+    packed = _pack12(q)
+    b = jnp.asarray(packed).reshape(-1, 3).astype(jnp.uint32)
+    q0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
+    q1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+    out = np.asarray(jnp.stack([q0, q1], -1).reshape(-1))
+    np.testing.assert_array_equal(out, q)
+
+
+def test_yc12_unpack_depth_and_color():
+    cam = _cam()
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 255, (cam.height, cam.width, 3), np.uint8)
+    depth = rng.uniform(0.5, 6.0, (cam.height, cam.width)).astype(np.float32)
+    packed = compact_frame(rgb, depth, 2, fmt="yc12")
+    gray8, depth_small, color = _unpack_yc12(
+        jnp.asarray(packed), cam.height, cam.width, 2
+    )
+    # depth: matches the stride-2 subsample within the 12-bit budget
+    ref = np.round(depth[::2, ::2] * DEPTH_SCALE) / DEPTH_SCALE
+    err = np.abs(np.asarray(depth_small) - ref)
+    z = ref
+    assert (err <= (np.sqrt(z * DEPTH_SCALE) / 16.0 + 1.0) / DEPTH_SCALE).all()
+    # color: reconstruction within chroma-subsampling error on smooth areas;
+    # a constant-color frame reconstructs near-exactly
+    flat = np.full((cam.height, cam.width, 3), (200, 64, 120), np.uint8)
+    packed2 = compact_frame(flat, depth, 2, fmt="yc12")
+    _, _, color2 = _unpack_yc12(jnp.asarray(packed2), cam.height, cam.width, 2)
+    assert np.abs(np.asarray(color2).astype(int) - flat[::2, ::2]).max() <= 3
+
+
+def test_yc12_matches_raw_keypoints():
+    """The extracted keypoints from yc12 and raw ingest agree: identical
+    detector input (gray is bit-identical), depth differs only by the
+    12-bit quantization."""
+    from rgbdslam_v2_tpu.io import SyntheticWorld
+    from rgbdslam_v2_tpu.models.orb import OrbExtractor
+
+    cam = _cam()
+    world = SyntheticWorld.create(seed=0, texture_size=256, cam=cam)
+    T = world.orbit_trajectory(4, seed=1)[2]
+    rgb_f, depth = world.render(T)
+    rgb = (np.asarray(rgb_f) * 255).astype(np.uint8)
+    depth = np.asarray(depth)
+    ext = OrbExtractor(max_keypoints=128, n_levels=3)
+    outs = {}
+    for fmt in ("raw", "yc12"):
+        packed = compact_frame(rgb, depth, 2, fmt=fmt)
+        kp, ds, _ = _prepare_and_extract(
+            ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed), fmt=fmt
+        )
+        outs[fmt] = (kp, np.asarray(ds))
+    kp_r, ds_r = outs["raw"]
+    kp_y, ds_y = outs["yc12"]
+    # same detector input -> same pixel locations for the valid set
+    np.testing.assert_allclose(
+        np.asarray(kp_y.uv)[np.asarray(kp_y.valid)],
+        np.asarray(kp_r.uv)[np.asarray(kp_r.valid)],
+        atol=1e-4,
+    )
+    # depth maps agree to the quantization budget
+    both = (ds_r > 0) & (ds_y > 0)
+    assert np.abs(ds_r - ds_y)[both].max() < 0.01
+    # keypoint z within mm-scale where both valid
+    vr = np.asarray(kp_r.valid) & np.asarray(kp_y.valid)
+    dz = np.abs(np.asarray(kp_y.xyz)[:, 2] - np.asarray(kp_r.xyz)[:, 2])[vr]
+    assert dz.max() < 0.02
