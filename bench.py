@@ -160,6 +160,12 @@ def main():
     except Exception as exc:  # the table is diagnostic, never fatal
         print(f"[bench] stage table failed: {exc}", file=sys.stderr)
 
+    # ---- per-kernel device-time table (stderr) -----------------------------
+    try:
+        _device_table(pipe, rgbs, depths, median_fps)
+    except Exception as exc:
+        print(f"[bench] device table failed: {exc}", file=sys.stderr)
+
     fr2_str = ""
     if fr2:
         fr2_str = (
@@ -202,18 +208,25 @@ def _fr2_scale_phase(make_pipe, rgbs, depths, n_frames, warmup):
 
     pipe = make_pipe(n_nodes=4096, n_edges=65536)
     pipe.params.set("optimizer_skip_step", 10)
+    # warm-up: the 4096-node buffer shapes compile fresh programs; keep
+    # that out of chunk 0's timing
+    frame_idx = 0
+    for i in range(warmup):
+        pipe.process_frame(rgbs[i], depths[i], frame_idx / 30.0)
+        frame_idx += 1
+    float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
     n_rounds = 4
     chunk_fps = []
-    frame_idx = 0
     for r in range(n_rounds):
+        start = warmup if r == 0 else 0
         t0 = time.perf_counter()
-        for i in range(n_frames):
+        for i in range(start, n_frames):
             ts = frame_idx / 30.0
             pipe.process_frame(rgbs[i], depths[i], ts)
             frame_idx += 1
         float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
         dt = time.perf_counter() - t0
-        fps = n_frames / dt
+        fps = (n_frames - start) / dt
         nodes_now = pipe.manager.n_nodes
         chunk_fps.append((nodes_now, fps))
         print(f"[bench] fr2-scale chunk {r}: {fps:.2f} fps at "
@@ -276,6 +289,60 @@ def _stage_table(pipe, rgbs, depths):
         f"online optimize dispatch {opt_disp:.1f} ms / complete {opt_wall:.1f} ms",
         file=sys.stderr,
     )
+
+
+def _device_table(pipe, rgbs, depths, median_fps, n_steps=10):
+    """jax.profiler trace of n_steps steady-state frames -> per-op device
+    times + a device-busy vs frame-budget split (the round-3 requirement:
+    device-side evidence, not host-fenced wall time)."""
+    import collections
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from rgbdslam_v2_tpu.graph.manager import compact_frame
+
+    m = pipe.manager
+    cpt = compact_frame(rgbs[-1], depths[-1], m.emm_stride, fmt=m.ingest_fmt)
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for k in range(n_steps):
+                m._add_frame_device(cpt, 2e6 + 0.03 * k, m.n_nodes,
+                                    m.n_nodes - 1)
+            float(np.asarray(m.graph.poses[0, 0, 0]))
+        files = sorted(glob.glob(f"{td}/**/*.trace.json.gz", recursive=True))
+        if not files:
+            print("[bench] no profiler trace produced", file=sys.stderr)
+            return
+        with gzip.open(files[-1], "rt") as f:
+            trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pid_names = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
+    }
+    dev_pids = {pid for pid, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower()}
+    agg = collections.Counter()
+    total_us = 0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            agg[e.get("name", "?")] += e.get("dur", 0)
+            if e.get("name", "").startswith("jit_"):
+                total_us += e.get("dur", 0)
+    frame_ms = 1e3 / max(median_fps, 1e-6)
+    busy_ms = total_us / n_steps / 1e3
+    print(f"[bench] device busy {busy_ms:.2f} ms/frame of "
+          f"{frame_ms:.2f} ms budget ({100*busy_ms/frame_ms:.0f}% — "
+          "remainder is the tunnel wire + host dispatch; ~0.46 MB/frame "
+          "ingest on a ~40 MB/s link)", file=sys.stderr)
+    print("[bench] top device ops (ms/frame):", file=sys.stderr)
+    for name, us in agg.most_common(12):
+        print(f"[bench]   {us/n_steps/1e3:7.3f}  {name[:80]}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,10 @@ PARAM_DEFS = [
        "stride-s RGB, 1.15 MB/frame). The tunnel link (~40 MB/s) makes the "
        "payload size the throughput bound; falls back to raw when the frame "
        "size is not divisible by 2x the cloud stride"),
+    _p("tpu_emm_exact", False,
+       "[tpu] use the reference's verbatim 9-sample EMM neighborhood search "
+       "instead of the pooled [min,max] fast path (precision studies; "
+       "~9x the gather traffic)"),
     _p("tpu_retrieval_min_matches", 10,
        "[tpu] min descriptor hits for a deferred appearance-retrieval "
        "candidate (fast-path analog of the ratio-test retrieval gate)"),

@@ -55,6 +55,7 @@ class CompareResult(NamedTuple):
         "projective_iterations",
         "cam_cx",
         "cam_cy",
+        "emm_exact",
     ),
 )
 def compare_to_candidates(
@@ -78,6 +79,7 @@ def compare_to_candidates(
     projective_iterations: int = 0,
     cam_cx: float = 319.5,
     cam_cy: float = 239.5,
+    emm_exact: bool = False,
 ) -> CompareResult:
     B = cand_idx.shape[0]
     h, w = cam_small.height, cam_small.width
@@ -130,6 +132,27 @@ def compare_to_candidates(
     c_lohi = store.emm_lohi[cand_idx].reshape(B, h, w)  # packed f16 pairs
 
     def emm_one(T, cdepth, clohi):
+        if emm_exact:
+            # precision-study path: the reference's verbatim 9-sample
+            # neighborhood search (tpu_emm_exact; ops/emm.py oracle) with
+            # the cloud-stride covariance inflation
+            from ..ops.emm import observation_likelihood_exact
+
+            a = observation_likelihood_exact(
+                T, new_points, new_valid, cdepth, cam_small, emm_skip,
+                sigma_depth, cov_scale=float(emm_skip),
+            )
+            cpoints = backproject_grid(cdepth, cam_small)
+            b = observation_likelihood_exact(
+                se3.inv(T), cpoints, cdepth > 0, new_depth_small, cam_small,
+                emm_skip, sigma_depth, cov_scale=float(emm_skip),
+            )
+            n_in = a.inliers + b.inliers
+            n_out = a.outliers + b.outliers
+            n_all = a.all_projected + b.all_projected
+            q = n_in.astype(jnp.float32) / jnp.maximum(n_in + n_out, 1).astype(jnp.float32)
+            frac = n_in.astype(jnp.float32) / jnp.maximum(n_all, 1).astype(jnp.float32)
+            return q, frac, n_all
         # direction 1: new points into candidate camera (old_T_new = T)
         a = observation_likelihood(
             T, new_points, new_valid, cdepth, cam_small, emm_skip, sigma_depth,

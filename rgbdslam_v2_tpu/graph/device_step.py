@@ -73,6 +73,7 @@ _STEP_STATICS = (
     "sample_size",
     "refine_iterations",
     "projective_iterations",
+    "emm_exact",
     "observability_threshold",
     "max_translation_per_s",
     "max_rotation_deg_per_s",
@@ -110,6 +111,7 @@ def _compute_body(
     sample_size: int = 4,
     refine_iterations: int = 6,
     projective_iterations: int = 0,
+    emm_exact: bool = False,
     observability_threshold: float = 0.0,
     max_translation_per_s: float = 1e10,
     max_rotation_deg_per_s: float = 1e10,
@@ -145,6 +147,7 @@ def _compute_body(
         projective_iterations=projective_iterations,
         cam_cx=cam.cx,
         cam_cy=cam.cy,
+        emm_exact=emm_exact,
     )
 
     # ---- on-device accept/reject (nodeComparisons decision logic) ---------

@@ -306,14 +306,10 @@ def _commit_node(
     return store, graph
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cam_small", "iterations", "emm_skip", "sigma_depth"),
-)
-def _icp_rescue_kernel(
+def _icp_rescue_body(
     T0, new_depth_small, cand_depth, cam_small, iterations, emm_skip, sigma_depth
 ):
-    """Dense ICP refinement + bidirectional EMM gate, ONE dispatch.
+    """Dense ICP refinement + bidirectional EMM gate.
 
     The reference's GICP/ICP fallback validates its result with the same
     observation likelihood as visual edges (node.cpp:1381-1413)."""
@@ -341,6 +337,36 @@ def _icp_rescue_kernel(
     q = n_in.astype(jnp.float32) / jnp.maximum(n_in + n_out, 1)
     frac = n_in.astype(jnp.float32) / jnp.maximum(n_all, 1)
     return res.transform, res.rmse, res.n_pairs, res.converged, q, frac
+
+
+_icp_rescue_kernel = functools.partial(
+    jax.jit,
+    static_argnames=("cam_small", "iterations", "emm_skip", "sigma_depth"),
+)(_icp_rescue_body)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam_small", "iterations", "emm_skip", "sigma_depth"),
+)
+def _icp_rescue_batch_kernel(
+    T0s,  # (B, 4, 4) seeds
+    new_depth_small,  # (h, w)
+    cand_depths,  # (B, h, w)
+    cam_small,
+    iterations,
+    emm_skip,
+    sigma_depth,
+):
+    """ICP-rescue ALL failed candidates in ONE vmapped dispatch — the
+    reference runs its ICP fallback per matchNodePair, i.e. for loop
+    candidates too (node.cpp:1381-1413); the TPU analog batches them."""
+    return jax.vmap(
+        lambda T0, cd: _icp_rescue_body(
+            T0, new_depth_small, cd, cam_small, iterations, emm_skip,
+            sigma_depth,
+        )
+    )(T0s, cand_depths)
 
 
 @functools.partial(
@@ -513,8 +539,11 @@ class GraphManager:
         self._loc_poses_host: Optional[np.ndarray] = None  # frozen-map mirror
         # pose_relative_to=inaffected: nodes optimized so far (watermark)
         self._nodes_opt_watermark = 0
-        # host mirror of edge_active (sync-free fixation/pruning decisions)
+        # host mirrors of edge metadata (sync-free fixation/pruning and
+        # O(E) subgraph selection as numpy vector ops, not python loops)
         self.edge_active_host = np.zeros(self.e_cap, bool)
+        self.edge_i_host = np.full(self.e_cap, -1, np.int32)
+        self.edge_j_host = np.full(self.e_cap, -1, np.int32)
         # first-node replacement check (graph_manager.cpp:762-769)
         self._kp_count0 = -1
         self._first_pose = np.eye(4, dtype=np.float32)
@@ -681,6 +710,7 @@ class GraphManager:
         )
         self.n_edges += 1
         self.edge_active_host[e] = True
+        self.edge_i_host[e], self.edge_j_host[e] = i, j
         self.adjacency.setdefault(i, set()).add(j)
         self.adjacency.setdefault(j, set()).add(i)
         self.edge_types.append(etype)
@@ -731,6 +761,8 @@ class GraphManager:
         )
         for (i, j, _m, _inf, etype) in edges:
             self.edge_active_host[self.n_edges] = True
+            self.edge_i_host[self.n_edges] = i
+            self.edge_j_host[self.n_edges] = j
             self.n_edges += 1
             self.adjacency.setdefault(i, set()).add(j)
             self.adjacency.setdefault(j, set()).add(i)
@@ -941,25 +973,31 @@ class GraphManager:
         ):
             return False
 
-        # ---- ICP fallback rescue (use_icp; node.cpp:1381-1413): when the
-        # predecessor edge failed visually, refine identity/RANSAC seed by
-        # dense point-to-plane ICP against the stored depth grid, EMM-gated.
-        icp_edge = None
-        if p["use_icp"] and not any(padded[b] == pred_id for b in accepted):
-            b_pred = padded.index(pred_id) if pred_id in padded else 0
-            seed = (
-                np.asarray(T_all[b_pred], np.float32)
-                if bool(ok[b_pred])
-                else np.eye(4, dtype=np.float32)
-            )
-            icp_edge = self._icp_rescue(depth_small, pred_id, seed)
-            if icp_edge is not None:
-                decisions.append(
-                    MatchDecision(
-                        cand_id=pred_id, accepted=True, reason="icp",
-                        n_inliers=int(icp_edge[2]), rmse=float(icp_edge[3]),
-                    )
+        # ---- ICP fallback rescue (use_icp; node.cpp:1381-1413): the
+        # reference runs its ICP fallback per matchNodePair — predecessor
+        # AND loop candidates. All visually-failed candidates are rescued in
+        # ONE batched dispatch: dense point-to-plane ICP seeded by the
+        # failed RANSAC transform (identity for the predecessor), each
+        # result EMM-gated like a visual edge.
+        icp_results: Dict[int, tuple] = {}  # cid -> (T, info, n, rmse)
+        accepted_ids_now = {padded[b] for b in accepted}
+        if p["use_icp"]:
+            failed = [
+                d.cand_id for d in decisions
+                if not d.accepted and d.cand_id not in accepted_ids_now
+            ]
+            if failed:
+                icp_results = self._icp_rescue_batch(
+                    depth_small, failed, padded, T_all, ok
                 )
+                for cid, (T_icp, _info, n_pairs, rmse_icp) in icp_results.items():
+                    decisions.append(
+                        MatchDecision(
+                            cand_id=cid, accepted=True, reason="icp",
+                            n_inliers=int(n_pairs), rmse=float(rmse_icp),
+                        )
+                    )
+        icp_edge = icp_results.get(pred_id)
 
         eye4 = np.eye(4, dtype=np.float32)
         edges = []  # (i, j, meas, info6x6, etype)
@@ -982,11 +1020,17 @@ class GraphManager:
                     (cid, new_id, np.asarray(T_all[b], np.float32),
                      np.eye(6, dtype=np.float32) * info_scale, etype)
                 )
-        if icp_edge is not None:
-            T_icp, info_icp, _n, _r = icp_edge
-            edges.append((pred_id, new_id, T_icp, info_icp, EDGE_SEQUENTIAL))
-            if not accepted:
-                base_id, base_T_new = pred_id, T_icp
+        if icp_results:
+            geodesic = self._geodesic_set(pred_id, p["geodesic_depth"])
+            for cid, (T_icp, info_icp, _n, _r) in icp_results.items():
+                etype = (
+                    EDGE_SEQUENTIAL
+                    if (cid == pred_id or cid in geodesic)
+                    else EDGE_LOOP
+                )
+                edges.append((cid, new_id, T_icp, info_icp, etype))
+            if not accepted and icp_edge is not None:
+                base_id, base_T_new = pred_id, icp_edge[0]
         if not edges:
             if p["keep_all_nodes"] or (
                 p["keep_good_nodes"]
@@ -1067,6 +1111,7 @@ class GraphManager:
             sample_size=p["sample_candidates"],
             refine_iterations=p["refine_iterations"],
             projective_iterations=p["g2o_transformation_refinement"],
+            emm_exact=p["tpu_emm_exact"],
             observability_threshold=p["observability_threshold"],
             max_translation_per_s=p["max_translation_meter"],
             max_rotation_deg_per_s=p["max_rotation_degree"],
@@ -1288,6 +1333,8 @@ class GraphManager:
             decisions = []
             for b, cid in enumerate(padded):
                 slot = edge_start + b
+                self.edge_i_host[slot] = cid
+                self.edge_j_host[slot] = new_id
                 if bool(s.accepted[b]):
                     etype = (
                         EDGE_SEQUENTIAL
@@ -1318,6 +1365,8 @@ class GraphManager:
                 )
             fb_slot = edge_start + B
             self.edge_pairs[fb_slot] = (pred_id, new_id)
+            self.edge_i_host[fb_slot] = pred_id
+            self.edge_j_host[fb_slot] = new_id
             if bool(s.fallback_used):
                 self.edge_types[fb_slot] = EDGE_CONST_POSITION
                 self.edge_active_host[fb_slot] = True
@@ -1350,6 +1399,7 @@ class GraphManager:
             projective_iterations=p["g2o_transformation_refinement"],
             cam_cx=self.cam.cx,
             cam_cy=self.cam.cy,
+            emm_exact=p["tpu_emm_exact"],
         )
 
     def _compare_dispatch(self, kp, depth_small, cand_idx, key) -> CompareResult:
@@ -1472,45 +1522,64 @@ class GraphManager:
         (graph_manager.cpp:889-892, :969-992, :1031-1035).
         """
         w = self._nodes_opt_watermark
-        free = set(range(w, self.n_nodes))
-        sub_eids = [
-            e
-            for e in range(self.n_edges)
-            if self.edge_active_host[e]
-            and self.edge_pairs[e] is not None
-            and (self.edge_pairs[e][0] in free or self.edge_pairs[e][1] in free)
-        ]
-        if not sub_eids:
+        ne = self.n_edges
+        # subgraph selection as numpy vector ops over the host mirrors — the
+        # python-loop version cost O(E) interpreter work per online optimize
+        # (~20 ms at fr2's 37k edges on this 1-core host)
+        ei = self.edge_i_host[:ne]
+        ej = self.edge_j_host[:ne]
+        sel = (
+            self.edge_active_host[:ne]
+            & (ei >= 0)
+            & ((ei >= w) | (ej >= w))
+        )
+        sub_eids = np.nonzero(sel)[0]
+        if sub_eids.size == 0:
             return 0.0
-        nodes = sorted({n for e in sub_eids for n in self.edge_pairs[e]})
-        local = {nid: k for k, nid in enumerate(nodes)}
+        sei, sej = ei[sub_eids], ej[sub_eids]
+        nodes = np.unique(np.concatenate([sei, sej]))
+        li = np.searchsorted(nodes, sei).astype(np.int32)
+        lj = np.searchsorted(nodes, sej).astype(np.int32)
+        n_nodes_sub, n_eids = len(nodes), len(sub_eids)
         # pad to pow-2 buckets so recompiles stay rare
-        ncap = max(32, 1 << (len(nodes) - 1).bit_length())
-        ecap = max(64, 1 << (len(sub_eids) - 1).bit_length())
-        n_fix = [nid not in free for nid in nodes]
-        if not any(n_fix):  # nothing anchors the subgraph: fix its oldest
+        ncap = max(32, 1 << (n_nodes_sub - 1).bit_length())
+        ecap = max(64, 1 << (n_eids - 1).bit_length())
+        n_fix = nodes < w  # border nodes (already optimized) held fixed
+        if not n_fix.any():  # nothing anchors the subgraph: fix its oldest
+            n_fix = n_fix.copy()
             n_fix[0] = True
         # pad node slots with a FIXED node: every duplicate scatter index
         # then writes the identical (unchanged) pose — deterministic
-        pad_node = nodes[n_fix.index(True)]
-        node_pad = nodes + [pad_node] * (ncap - len(nodes))
-        eid_pad = sub_eids + [sub_eids[0]] * (ecap - len(sub_eids))
+        pad_node = nodes[int(np.argmax(n_fix))]
+        node_pad = np.concatenate(
+            [nodes, np.full(ncap - n_nodes_sub, pad_node, nodes.dtype)]
+        ).astype(np.int32)
+        eid_pad = np.concatenate(
+            [sub_eids, np.full(ecap - n_eids, sub_eids[0], sub_eids.dtype)]
+        ).astype(np.int32)
+        li_pad = np.concatenate([li, np.full(ecap - n_eids, li[0], np.int32)])
+        lj_pad = np.concatenate([lj, np.full(ecap - n_eids, lj[0], np.int32)])
+        pad_false_n = np.zeros(ncap - n_nodes_sub, bool)
+        p = self.params
+        solver = {"cholesky": "dense", "dense": "dense", "pcg": "pcg"}.get(
+            p["backend_solver"], "dense" if ncap <= 1024 else "pcg"
+        )
         graph, chi2 = _inaffected_kernel(
             self.graph,
-            np.asarray(node_pad, np.int32),
-            np.asarray(eid_pad, np.int32),
-            np.asarray([local[self.edge_pairs[e][0]] for e in eid_pad], np.int32),
-            np.asarray([local[self.edge_pairs[e][1]] for e in eid_pad], np.int32),
-            np.asarray(n_fix + [True] * (ncap - len(nodes)), bool),
-            np.asarray([True] * len(nodes) + [False] * (ncap - len(nodes)), bool),
-            np.asarray([True] * len(sub_eids) + [False] * (ecap - len(sub_eids)), bool),
-            np.asarray(
-                [nid in free for nid in nodes] + [False] * (ncap - len(nodes)), bool
+            node_pad,
+            eid_pad,
+            li_pad,
+            lj_pad,
+            np.concatenate([n_fix, ~pad_false_n]),
+            np.concatenate([np.ones(n_nodes_sub, bool), pad_false_n]),
+            np.concatenate(
+                [np.ones(n_eids, bool), np.zeros(ecap - n_eids, bool)]
             ),
+            np.concatenate([nodes >= w, pad_false_n]),
             iterations=iterations,
-            huber_delta=self.params["huber_delta"],
+            huber_delta=p["huber_delta"],
             pcg_iters=pcg_iters,
-            solver="dense" if ncap <= 1024 else "pcg",
+            solver=solver,
         )
         self.graph = graph
         return float(chi2) if blocking else float("nan")
@@ -1709,6 +1778,63 @@ class GraphManager:
             int(n_pairs),
             float(rmse),
         )
+
+    def _icp_rescue_batch(
+        self, depth_small, failed_ids: List[int], padded, T_all, ok
+    ) -> Dict[int, tuple]:
+        """Batched use_icp rescue over the visually-failed candidates
+        (node.cpp:1381-1413 runs per matchNodePair). Returns
+        {cid: (T, info6, n_pairs, rmse)} for converged + EMM-gated results;
+        seeds are the failed RANSAC transforms where available."""
+        p = self.params
+        B = self.cand_batch
+        ids = list(dict.fromkeys(failed_ids))[:B]
+        if not ids:
+            return {}
+        pad_ids = (ids + [ids[0]] * B)[:B]
+        seeds = []
+        for cid in pad_ids:
+            b = padded.index(cid) if cid in padded else 0
+            seeds.append(
+                np.asarray(T_all[b], np.float32)
+                if bool(ok[b])
+                else np.eye(4, dtype=np.float32)
+            )
+        h, w = self.cam_small.height, self.cam_small.width
+        cand_depths = self.store.depth[jnp.asarray(pad_ids, jnp.int32)].reshape(
+            B, h, w
+        )
+        out = _icp_rescue_batch_kernel(
+            jnp.asarray(np.stack(seeds)),
+            depth_small,
+            cand_depths,
+            self.cam_small,
+            int(p["icp_max_iterations"]),
+            p["emm_skip_step"],
+            p["sigma_depth"],
+        )
+        T, rmse, n_pairs, conv, q, frac = [
+            np.asarray(x) for x in jax.device_get(out)
+        ]
+        emm_thresh = p["observability_threshold"]
+        res: Dict[int, tuple] = {}
+        for k, cid in enumerate(ids):
+            if not bool(conv[k]):
+                continue
+            if emm_thresh > 0 and not (
+                float(q[k]) > emm_thresh and float(frac[k]) > 0.25
+            ):
+                continue
+            info_scale = min(
+                float(n_pairs[k]) / (float(rmse[k]) ** 2 + 4e-4), 1e6
+            )
+            res[cid] = (
+                np.asarray(T[k], np.float32),
+                np.eye(6, dtype=np.float32) * info_scale,
+                int(n_pairs[k]),
+                float(rmse[k]),
+            )
+        return res
 
     def sanity_check(self) -> List[str]:
         """sanityCheck capability (graph_manager.cpp:1347)."""
@@ -1962,5 +2088,10 @@ class GraphManager:
             )
         else:  # legacy checkpoint: recover from the device array
             self.edge_active_host[:] = np.asarray(self.graph.edge_active)
+        self.edge_i_host = np.full(self.e_cap, -1, np.int32)
+        self.edge_j_host = np.full(self.e_cap, -1, np.int32)
+        for e, pair in enumerate(self.edge_pairs):
+            if pair is not None:
+                self.edge_i_host[e], self.edge_j_host[e] = pair
         self._nodes_opt_watermark = meta.get("nodes_opt_watermark", self.n_nodes)
         self._kp_count0 = meta.get("kp_count0", -1)
