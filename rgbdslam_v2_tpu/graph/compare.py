@@ -86,7 +86,20 @@ def compare_to_candidates(
     c_desc = store.desc[cand_idx]  # (B, K, D)
     c_xyz = store.xyz[cand_idx]
     c_val = store.kp_valid[cand_idx]
-    c_depth = store.depth[cand_idx].reshape(B, h, w)  # rows stored flat
+    # The candidates' depth is only sampled at the EMM stride (direction-2
+    # point set). The store precomputes that sample plane (emm_zs) so the
+    # per-candidate read is a small CONTIGUOUS row gather (150 KB) — both a
+    # full-row gather (2.4 MB DMA) and a 2-D strided gather (38 K
+    # scalar-path accesses) cost ~0.7 ms/frame on v5e.
+    e = emm_skip
+    hs, ws = -(-h // e), -(-w // e)
+    if store.emm_zs.shape[1] == hs * ws:
+        c_zs = store.emm_zs[cand_idx].reshape(B, hs, ws)
+    else:  # store built at a different stride: strided gather fallback
+        flat = (
+            (jnp.arange(hs) * e)[:, None] * w + (jnp.arange(ws) * e)[None, :]
+        ).reshape(-1)
+        c_zs = store.depth[cand_idx[:, None], flat[None, :]].reshape(B, hs, ws)
 
     # ---- matching: B batched exact knn2 + ratio + dedup --------------------
     # The store may hold descriptors in a different dtype (tpu_descriptor_dtype)
@@ -126,18 +139,28 @@ def compare_to_candidates(
     # All reduce_window pooling is hoisted out of the per-candidate vmap: the
     # candidates' [lo, hi] maps were precomputed at commit time
     # (store.emm_lohi), the new frame's are computed ONCE here.
-    new_points = backproject_grid(new_depth_small, cam_small)
-    new_valid = new_depth_small > 0
     new_lohi = emm_pool_maps(new_depth_small)
     c_lohi = store.emm_lohi[cand_idx].reshape(B, h, w)  # packed f16 pairs
 
-    def emm_one(T, cdepth, clohi):
-        if emm_exact:
-            # precision-study path: the reference's verbatim 9-sample
-            # neighborhood search (tpu_emm_exact; ops/emm.py oracle) with
-            # the cloud-stride covariance inflation
-            from ..ops.emm import observation_likelihood_exact
+    def _combine(a, b):
+        n_in = a.inliers + b.inliers
+        n_out = a.outliers + b.outliers
+        n_all = a.all_projected + b.all_projected
+        q = n_in.astype(jnp.float32) / jnp.maximum(n_in + n_out, 1).astype(jnp.float32)
+        frac = n_in.astype(jnp.float32) / jnp.maximum(n_all, 1).astype(jnp.float32)
+        return q, frac, n_all
 
+    if emm_exact:
+        # precision-study path (tpu_emm_exact): the reference's verbatim
+        # 9-sample neighborhood search with the cloud-stride covariance
+        # inflation — needs the candidates' full depth maps
+        from ..ops.emm import observation_likelihood_exact
+
+        new_points = backproject_grid(new_depth_small, cam_small)
+        new_valid = new_depth_small > 0
+        c_depth = store.depth[cand_idx].reshape(B, h, w)
+
+        def emm_one_exact(T, cdepth):
             a = observation_likelihood_exact(
                 T, new_points, new_valid, cdepth, cam_small, emm_skip,
                 sigma_depth, cov_scale=float(emm_skip),
@@ -147,30 +170,43 @@ def compare_to_candidates(
                 se3.inv(T), cpoints, cdepth > 0, new_depth_small, cam_small,
                 emm_skip, sigma_depth, cov_scale=float(emm_skip),
             )
-            n_in = a.inliers + b.inliers
-            n_out = a.outliers + b.outliers
-            n_all = a.all_projected + b.all_projected
-            q = n_in.astype(jnp.float32) / jnp.maximum(n_in + n_out, 1).astype(jnp.float32)
-            frac = n_in.astype(jnp.float32) / jnp.maximum(n_all, 1).astype(jnp.float32)
-            return q, frac, n_all
-        # direction 1: new points into candidate camera (old_T_new = T)
-        a = observation_likelihood(
-            T, new_points, new_valid, cdepth, cam_small, emm_skip, sigma_depth,
-            old_lohi=clohi,
-        )
-        cpoints = backproject_grid(cdepth, cam_small)
-        b = observation_likelihood(
-            se3.inv(T), cpoints, cdepth > 0, new_depth_small, cam_small,
-            emm_skip, sigma_depth, old_lohi=new_lohi,
-        )
-        n_in = a.inliers + b.inliers
-        n_out = a.outliers + b.outliers
-        n_all = a.all_projected + b.all_projected
-        q = n_in.astype(jnp.float32) / jnp.maximum(n_in + n_out, 1).astype(jnp.float32)
-        frac = n_in.astype(jnp.float32) / jnp.maximum(n_all, 1).astype(jnp.float32)
-        return q, frac, n_all
+            return _combine(a, b)
 
-    emm_q, emm_frac, emm_all = jax.vmap(emm_one)(reg.transform, c_depth, c_lohi)
+        emm_q, emm_frac, emm_all = jax.vmap(emm_one_exact)(
+            reg.transform, c_depth
+        )
+    else:
+        # BOTH directions' point sets straight from strided samples: pixel
+        # (i*e, j*e) with its depth — identical samples to striding a full
+        # backprojected grid, without materializing the (h, w, 3) grids
+        us = (jnp.arange(ws) * e).astype(jnp.float32)
+        vs = (jnp.arange(hs) * e).astype(jnp.float32)
+
+        def strided_points(zs):
+            x = (us[None, :] - cam_small.cx) * zs / cam_small.fx
+            y = (vs[:, None] - cam_small.cy) * zs / cam_small.fy
+            return jnp.stack([x, y, zs], axis=-1)
+
+        n_zs = new_depth_small[::e, ::e]
+        new_points_s = strided_points(n_zs)
+        new_valid_s = n_zs > 0
+
+        def emm_one(T, czs, clohi):
+            # direction 1: new points into candidate camera (old_T_new = T);
+            # czs is traced but unused here (old_lohi supplies the samples)
+            a = observation_likelihood(
+                T, new_points_s, new_valid_s, czs, cam_small, 1,
+                sigma_depth, old_lohi=clohi,
+            )
+            b = observation_likelihood(
+                se3.inv(T), strided_points(czs), czs > 0, new_depth_small,
+                cam_small, 1, sigma_depth, old_lohi=new_lohi,
+            )
+            return _combine(a, b)
+
+        emm_q, emm_frac, emm_all = jax.vmap(emm_one)(
+            reg.transform, c_zs, c_lohi
+        )
 
     return CompareResult(
         transform=reg.transform,

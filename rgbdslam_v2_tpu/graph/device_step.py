@@ -200,6 +200,7 @@ def _compute_body(
         kp_valid=kp.valid,
         depth=jnp.reshape(depth_small, (-1,)),
         emm_lohi=jnp.reshape(emm_pool_maps(depth_small), (-1,)),
+        emm_zs=store.zs_row(depth_small),
         color=store.color_row(color_small),
     )
     summary = jnp.concatenate(
@@ -225,6 +226,7 @@ class NodeRows(NamedTuple):
     kp_valid: "object"
     depth: "object"
     emm_lohi: "object"
+    emm_zs: "object"
     color: "object"
 
 
@@ -259,6 +261,7 @@ def _commit_body(
         kp_valid=store.kp_valid.at[new_id].set(rows.kp_valid),
         depth=store.depth.at[new_id].set(rows.depth),
         emm_lohi=store.emm_lohi.at[new_id].set(rows.emm_lohi),
+        emm_zs=store.emm_zs.at[new_id].set(rows.emm_zs),
         color=store.color.at[new_id].set(rows.color),
     )
     graph = graph._replace(

@@ -195,7 +195,13 @@ def _unpack_yc12(packed, H: int, W: int, stride: int):
     cr = packed[off + hc * wc : off + 2 * hc * wc].reshape(hc, wc).astype(
         jnp.float32
     )
-    y = gray8[::stride, ::stride].astype(jnp.float32)
+    # Y for the color plane: average-pool via reshape (contiguous reads) —
+    # a [::s, ::s] strided slice of the u8 plane lowers to a scalar-path
+    # gather (~0.8 ms/frame); the reshape-mean is a vector reduction and a
+    # better 4:2:0 downsample anyway
+    y = jnp.mean(
+        gray8.reshape(h, stride, w, stride).astype(jnp.float32), axis=(1, 3)
+    )
     cb2 = jnp.repeat(jnp.repeat(cb, 2, 0), 2, 1)[:h, :w] - 128.0
     cr2 = jnp.repeat(jnp.repeat(cr, 2, 0), 2, 1)[:h, :w] - 128.0
     r = y + 1.402 * cr2
@@ -283,6 +289,7 @@ def _commit_node(
         emm_lohi=store.emm_lohi.at[new_id].set(
             jnp.reshape(emm_pool_maps(depth_small), (-1,))
         ),
+        emm_zs=store.emm_zs.at[new_id].set(store.zs_row(depth_small)),
         color=store.color.at[new_id].set(store.color_row(color_small)),
     )
     new_pose = graph.poses[base_id] @ base_T_new
@@ -513,6 +520,7 @@ class GraphManager:
             self.cam_small.width,
             desc_dtype=desc_dtype,
             store_color=p["store_pointclouds"],
+            emm_skip=p["emm_skip_step"],
         )
         self.graph = make_graph_state(self.n_cap, self.e_cap)
         self.n_nodes = 0

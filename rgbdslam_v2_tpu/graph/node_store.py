@@ -28,6 +28,10 @@ class NodeStore(NamedTuple):
       emm_lohi (N, h*w) uint32 — precomputed 5x5 [min|max] depth pools,
         f16-packed (ops/emm.emm_pool_maps); candidate EMM validation is then
         ONE gather per point, no per-candidate reduce_windows
+      emm_zs (N, ceil(h/e)*ceil(w/e)) f32, e = emm_skip — the depth samples
+        the EMM's direction-2 point set actually reads, precomputed so the
+        candidate gather is a small contiguous row (150 KB) instead of a
+        scalar-path strided gather over the full rows (~0.7 ms/frame)
       color (N, h*w*3) uint8 — for mapping/export.
     Why flat: with (N, h, w) shapes XLA's layout assignment let the commit
     program's row scatter pick a node-minor {0,2,1} layout for the buffer,
@@ -42,6 +46,7 @@ class NodeStore(NamedTuple):
     kp_valid: jnp.ndarray
     depth: jnp.ndarray
     emm_lohi: jnp.ndarray
+    emm_zs: jnp.ndarray
     color: jnp.ndarray
 
     @classmethod
@@ -54,6 +59,7 @@ class NodeStore(NamedTuple):
         emm_w: int,
         desc_dtype=jnp.int8,
         store_color: bool = True,
+        emm_skip: int = 2,
     ) -> "NodeStore":
         """store_color=False (param store_pointclouds) shrinks the color
         plane to 3 bytes/node — depth is always kept (EMM needs it), but the
@@ -70,6 +76,10 @@ class NodeStore(NamedTuple):
             # "unobserved" (isfinite(lo)=False) exactly like the on-the-fly
             # path, not as a spurious z=0 occluder
             emm_lohi=jnp.full((n_cap, emm_h * emm_w), 0xFC007C00, jnp.uint32),
+            emm_zs=jnp.zeros(
+                (n_cap, -(-emm_h // emm_skip) * -(-emm_w // emm_skip)),
+                jnp.float32,
+            ),
             color=jnp.zeros((n_cap, color_len), jnp.uint8),
         )
 
@@ -86,6 +96,22 @@ class NodeStore(NamedTuple):
         prefix slice only matters for store_color=False's 3-byte stub)."""
         return jnp.reshape(color_small, (-1,))[: self.color.shape[1]]
 
+    def emm_skip_of(self, h: int, w: int) -> int:
+        """Recover the emm_skip this store's zs plane was built with from
+        the (static) shapes — lets jitted writers stride identically
+        without threading the parameter through every signature."""
+        zs_len = self.emm_zs.shape[1]
+        for e in range(1, 33):
+            if -(-h // e) * -(-w // e) == zs_len:
+                return e
+        raise ValueError(f"no emm_skip reproduces zs length {zs_len} "
+                         f"for a {h}x{w} grid")
+
+    def zs_row(self, depth_small) -> "jnp.ndarray":
+        h, w = depth_small.shape
+        e = self.emm_skip_of(h, w)
+        return jnp.reshape(depth_small[::e, ::e], (-1,))
+
     def insert(self, idx: int, kp: Keypoints, depth_small, color_small) -> "NodeStore":
         from ..ops.emm import emm_pool_maps
 
@@ -98,6 +124,7 @@ class NodeStore(NamedTuple):
             emm_lohi=self.emm_lohi.at[idx].set(
                 jnp.reshape(emm_pool_maps(depth_small), (-1,))
             ),
+            emm_zs=self.emm_zs.at[idx].set(self.zs_row(depth_small)),
             color=self.color.at[idx].set(self.color_row(color_small)),
         )
 
