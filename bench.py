@@ -254,7 +254,7 @@ def _stage_table(pipe, rgbs, depths):
     t0 = time.perf_counter()
     for _ in range(10):
         cpt_np = compact_frame(rgbs[-1], depths[-1], m.emm_stride,
-                               fmt=m.ingest_fmt)
+                               fmt=m.ingest_fmt, gray_bits=m.gray_bits)
     t_compact = (time.perf_counter() - t0) / 10 * 1e3
 
     def fence():
@@ -306,7 +306,8 @@ def _device_table(pipe, rgbs, depths, median_fps, n_steps=10):
     from rgbdslam_v2_tpu.graph.manager import compact_frame
 
     m = pipe.manager
-    cpt = compact_frame(rgbs[-1], depths[-1], m.emm_stride, fmt=m.ingest_fmt)
+    cpt = compact_frame(rgbs[-1], depths[-1], m.emm_stride, fmt=m.ingest_fmt,
+                        gray_bits=m.gray_bits)
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
             for k in range(n_steps):

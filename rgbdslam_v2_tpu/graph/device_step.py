@@ -61,6 +61,7 @@ _STEP_STATICS = (
     "cam_small",
     "stride",
     "ingest_fmt",
+    "gray_bits",
     "min_depth",
     "max_depth",
     "max_matches",
@@ -99,6 +100,7 @@ def _compute_body(
     cam_small: Intrinsics = None,
     stride: int = 2,
     ingest_fmt: str = "yc12",
+    gray_bits: int = 8,
     min_depth: float = 0.1,
     max_depth: float = 10.0,
     max_matches: int = 300,
@@ -124,7 +126,7 @@ def _compute_body(
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     kp, depth_small, color_small = _prepare_and_extract(
         extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-        packed, fmt=ingest_fmt
+        packed, fmt=ingest_fmt, gray_bits=gray_bits
     )
     res = compare_to_candidates(
         kp,

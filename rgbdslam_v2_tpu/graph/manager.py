@@ -81,7 +81,18 @@ def _pack12(q: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def compact_frame(rgb, depth, stride: int, fmt: str = "yc12"):
+def _pack6(gray8: np.ndarray) -> np.ndarray:
+    """(N,) u8 gray, N % 4 == 0 -> (3N/4,) u8: 6-bit luma, 4 px per 3 B."""
+    a = (gray8.reshape(-1, 4) >> 2).astype(np.uint8)
+    out = np.empty((a.shape[0], 3), np.uint8)
+    out[:, 0] = a[:, 0] | ((a[:, 1] & 0x03) << 6)
+    out[:, 1] = (a[:, 1] >> 2) | ((a[:, 2] & 0x0F) << 4)
+    out[:, 2] = (a[:, 2] >> 4) | (a[:, 3] << 2)
+    return out.reshape(-1)
+
+
+def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
+                  gray_bits: int = 8):
     """Host-side ingest compaction into ONE packed uint8 buffer.
 
     One buffer means ONE transfer per frame — each h2d through the tunnel
@@ -127,6 +138,9 @@ def compact_frame(rgb, depth, stride: int, fmt: str = "yc12"):
         d16 = np.clip(d * DEPTH_SCALE, 0, 65535).astype(np.uint16)
 
     if fmt == "yc12":
+        gray_wire = (
+            _pack6(gray8.reshape(-1)) if gray_bits == 6 else gray8.reshape(-1)
+        )
         d12 = _pack12(_d12_lut()[d16[::stride, ::stride]].reshape(-1))
         cs = 2 * stride
         if rgb.ndim == 3:
@@ -140,7 +154,7 @@ def compact_frame(rgb, depth, stride: int, fmt: str = "yc12"):
             cb = np.full((H // cs, W // cs), 128, np.uint8)
             cr = np.full((H // cs, W // cs), 128, np.uint8)
         return np.concatenate(
-            [gray8.reshape(-1), d12, cb.reshape(-1), cr.reshape(-1)]
+            [gray_wire, d12, cb.reshape(-1), cr.reshape(-1)]
         )
 
     if rgb.ndim == 3:
@@ -173,18 +187,32 @@ def _unpack_compact(packed, H: int, W: int, stride: int):
     return gray8, depth16, color
 
 
-def _unpack_yc12(packed, H: int, W: int, stride: int):
+def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 8):
     """Device-side inverse of compact_frame(fmt="yc12"): packed u8 ->
     (gray u8 (H,W), depth_small f32 meters (h,w), color u8 (h,w,3)).
 
     Depth: 12-bit sqrt codes -> d16 = q^2/256 -> meters. Color: Y from the
     stride-s gray plane + Cb/Cr nearest-upsampled from stride 2s (BT.601
-    inverse) — all elementwise, fuses into the step program."""
-    n_gray = H * W
+    inverse) — all elementwise, fuses into the step program. gray_bits=6
+    unpacks the 4-px-per-3-B luma with bit-replication ((q<<2)|(q>>4))."""
+    n_gray = H * W if gray_bits == 8 else (H * W // 4) * 3
     h, w = H // stride, W // stride
     n_d12 = (h * w // 2) * 3
     hc, wc = H // (2 * stride), W // (2 * stride)
-    gray8 = packed[:n_gray].reshape(H, W)
+    if gray_bits == 6:
+        g = packed[:n_gray].reshape(-1, 3).astype(jnp.uint32)
+        q = jnp.stack(
+            [
+                g[:, 0] & 0x3F,
+                (g[:, 0] >> 6) | ((g[:, 1] & 0x0F) << 2),
+                (g[:, 1] >> 4) | ((g[:, 2] & 0x03) << 4),
+                g[:, 2] >> 2,
+            ],
+            axis=-1,
+        ).reshape(H, W)
+        gray8 = ((q << 2) | (q >> 4)).astype(jnp.uint8)
+    else:
+        gray8 = packed[:n_gray].reshape(H, W)
     b = packed[n_gray : n_gray + n_d12].reshape(-1, 3).astype(jnp.uint32)
     q0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
     q1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
@@ -216,11 +244,11 @@ def _unpack_yc12(packed, H: int, W: int, stride: int):
 @functools.partial(
     jax.jit,
     static_argnames=("extractor", "cam", "stride", "min_depth", "max_depth",
-                     "use_feature_min_depth", "fmt"),
+                     "use_feature_min_depth", "fmt", "gray_bits"),
 )
 def _prepare_and_extract(
     extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-    packed, fmt: str = "yc12"
+    packed, fmt: str = "yc12", gray_bits: int = 8
 ):
     """Fused per-frame device prep on the PACKED compact ingest buffer:
     unpack (slice/bitcast), u8 gray -> f32, depth decode -> meters + masking,
@@ -229,7 +257,9 @@ def _prepare_and_extract(
 
     H, W = cam.height, cam.width
     if fmt == "yc12":
-        gray8, depth_m, color_small = _unpack_yc12(packed, H, W, stride)
+        gray8, depth_m, color_small = _unpack_yc12(
+            packed, H, W, stride, gray_bits
+        )
         valid_s = (depth_m > min_depth) & (depth_m < max_depth)
         depth_small = jnp.where(valid_s, depth_m, 0.0)
         # feature depth reads the stride-s cell (nearest upsample); the
@@ -451,6 +481,7 @@ class GraphManager:
         self.emm_stride = p["cloud_creation_skip_step"]
         s = self.emm_stride
         self.ingest_fmt = p["tpu_ingest_format"]
+        self.gray_bits = p["tpu_gray_bits"]
         if self.ingest_fmt == "yc12" and (
             cam.height % (2 * s) or cam.width % (2 * s)
         ):
@@ -813,7 +844,8 @@ class GraphManager:
         p = self.params
         if compact is None:
             compact = compact_frame(rgb, depth, self.emm_stride,
-                                    fmt=self.ingest_fmt)
+                                    fmt=self.ingest_fmt,
+                                    gray_bits=self.gray_bits)
 
         new_id0 = self.n_nodes
         # ---- fast path: whole step decided and committed on device --------
@@ -839,6 +871,7 @@ class GraphManager:
             p["use_feature_min_depth"],
             jnp.asarray(compact),
             fmt=self.ingest_fmt,
+            gray_bits=self.gray_bits,
         )
 
         eye4 = np.eye(4, dtype=np.float32)
@@ -1107,6 +1140,7 @@ class GraphManager:
             cam_small=self.cam_small,
             stride=self.emm_stride,
             ingest_fmt=self.ingest_fmt,
+            gray_bits=self.gray_bits,
             min_depth=p["minimum_depth"],
             max_depth=p["maximum_depth"],
             max_matches=p["max_matches"],

@@ -132,6 +132,7 @@ class SlamPipeline:
             return
         stride = self.manager.emm_stride
         fmt = self.manager.ingest_fmt
+        gb = self.manager.gray_bits
 
         pair = p["tpu_frames_per_step"] >= 2
         k = 0
@@ -144,7 +145,7 @@ class SlamPipeline:
             # tunnel: the direct argument is the fastest and the least
             # variable (the tunnel serializes transfer and compute anyway,
             # so prefetch buys nothing and extra dispatches cost latency).
-            cpt = compact_frame(rgbs[i], depths[i], stride, fmt=fmt)
+            cpt = compact_frame(rgbs[i], depths[i], stride, fmt=fmt, gray_bits=gb)
             if (
                 pair
                 and not self.paused
@@ -153,7 +154,7 @@ class SlamPipeline:
             ):
                 # two frames fused into ONE device dispatch (slam_step2)
                 j = idxs[k + 1]
-                cpt2 = compact_frame(rgbs[j], depths[j], stride, fmt=fmt)
+                cpt2 = compact_frame(rgbs[j], depths[j], stride, fmt=fmt, gray_bits=gb)
                 t0 = time.perf_counter()
                 self.manager.add_frame_pair(
                     cpt, float(stamps[i]), cpt2, float(stamps[j])
@@ -195,13 +196,14 @@ class SlamPipeline:
         step = max(1, p["data_skip_step"])
         stride = self.manager.emm_stride
         fmt = self.manager.ingest_fmt
+        gb = self.manager.gray_bits
 
         def gen():
             count = 0
             for k, (ts, rgb, depth) in enumerate(frames):
                 if k < skip0 or (k - skip0) % step:
                     continue
-                yield ts, compact_frame(rgb, depth, stride, fmt=fmt)
+                yield ts, compact_frame(rgb, depth, stride, fmt=fmt, gray_bits=gb)
                 count += 1
                 if max_frames and count >= max_frames:
                     return
@@ -301,10 +303,11 @@ class SlamPipeline:
 
         stride = self.manager.emm_stride
         fmt = self.manager.ingest_fmt
+        gb = self.manager.gray_bits
 
         def put(i):
             ts, rgb, depth = dataset.load(i)
-            return ts, compact_frame(rgb, depth, stride, fmt=fmt)
+            return ts, compact_frame(rgb, depth, stride, fmt=fmt, gray_bits=gb)
 
         nxt = put(idxs[0])
         for k, i in enumerate(idxs):

@@ -71,6 +71,57 @@ def test_yc12_unpack_depth_and_color():
     assert np.abs(np.asarray(color2).astype(int) - flat[::2, ::2]).max() <= 3
 
 
+def test_gray6_pack_roundtrip():
+    """6-bit luma wire option: exact 6-bit roundtrip with bit-replication
+    decode; max abs error vs the original u8 is one quantization step."""
+    from rgbdslam_v2_tpu.graph.manager import _pack6
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, 480 * 8, np.uint8)
+    packed = _pack6(g)
+    assert packed.nbytes == g.size * 3 // 4
+    b = jnp.asarray(packed).reshape(-1, 3).astype(jnp.uint32)
+    q = np.asarray(jnp.stack(
+        [
+            b[:, 0] & 0x3F,
+            (b[:, 0] >> 6) | ((b[:, 1] & 0x0F) << 2),
+            (b[:, 1] >> 4) | ((b[:, 2] & 0x03) << 4),
+            b[:, 2] >> 2,
+        ],
+        axis=-1,
+    ).reshape(-1))
+    np.testing.assert_array_equal(q, g >> 2)
+    recon = (q << 2) | (q >> 4)
+    assert np.abs(recon.astype(int) - g.astype(int)).max() <= 4
+
+
+def test_gray6_ingest_extracts():
+    """gray_bits=6 end-to-end through _prepare_and_extract: keypoints still
+    fire on a textured frame and depth path is unaffected."""
+    from rgbdslam_v2_tpu.io import SyntheticWorld
+    from rgbdslam_v2_tpu.models.orb import OrbExtractor
+
+    cam = _cam()
+    world = SyntheticWorld.create(seed=0, texture_size=256, cam=cam)
+    T = world.orbit_trajectory(4, seed=1)[1]
+    rgb_f, depth = world.render(T)
+    rgb = (np.asarray(rgb_f) * 255).astype(np.uint8)
+    ext = OrbExtractor(max_keypoints=128, n_levels=3)
+    packed = compact_frame(rgb, np.asarray(depth), 2, fmt="yc12", gray_bits=6)
+    kp, ds, _ = _prepare_and_extract(
+        ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed),
+        fmt="yc12", gray_bits=6,
+    )
+    packed8 = compact_frame(rgb, np.asarray(depth), 2, fmt="yc12")
+    kp8, ds8, _ = _prepare_and_extract(
+        ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed8), fmt="yc12"
+    )
+    n6 = int(np.asarray(kp.valid).sum())
+    n8 = int(np.asarray(kp8.valid).sum())
+    assert n6 >= int(0.8 * n8), (n6, n8)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds8))
+
+
 def test_yc12_matches_raw_keypoints():
     """The extracted keypoints from yc12 and raw ingest agree: identical
     detector input (gray is bit-identical), depth differs only by the

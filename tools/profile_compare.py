@@ -115,8 +115,9 @@ def main():
         new_points = backproject_grid(depth_small, m.cam_small)
         new_valid = depth_small > 0
         new_lohi = emm_pool_maps(depth_small)
-        c_depth = store.depth[ci]
-        c_lohi = store.emm_lohi[ci]
+        hh, ww = m.cam_small.height, m.cam_small.width
+        c_depth = store.depth[ci].reshape(-1, hh, ww)  # rows stored flat
+        c_lohi = store.emm_lohi[ci].reshape(-1, hh, ww)
 
         def one(T, cdepth, clohi):
             a = observation_likelihood(
