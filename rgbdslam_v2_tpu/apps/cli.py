@@ -239,6 +239,94 @@ def cmd_vo_multi(args):
     return 0
 
 
+def cmd_slam_multi(args):
+    """Multi-sequence FULL SLAM, batched over sequences and sharded one
+    shard per device (parallel/slam_multi.py): the complete system —
+    device step, pose graph, 5-level protocol — per sequence, the batched
+    analog of the reference's per-bagfile runs (test/run_tests.sh:21-76).
+    Unlike vo-multi (frontend-only odometry chains), loop closures and
+    graph optimization are live in every sequence."""
+    import jax
+
+    if args.devices.startswith("cpu"):
+        n_req = int(args.devices.split(":")[1]) if ":" in args.devices else 8
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_req)
+        got = len(jax.devices("cpu"))
+        if got < n_req:
+            print(
+                f"rgbdslam: error: requested cpu:{n_req} but only {got} CPU "
+                "device(s) materialized", file=sys.stderr,
+            )
+            return 2
+
+    import rgbdslam_v2_tpu
+
+    rgbdslam_v2_tpu.enable_compilation_cache()
+    from ..io.tum import TumDataset, write_trajectory
+    from ..parallel import candidate_mesh
+    from ..parallel.slam_multi import MultiSequenceSlam
+
+    params = _build_params(args.param)
+    cam = _cam_from_args(args, params)
+    datasets = [TumDataset.open(d) for d in args.tum_dirs]
+    T = min(len(ds) for ds in datasets)
+    if args.max_frames:
+        T = min(T, args.max_frames)
+
+    platform = "cpu" if args.devices.startswith("cpu") else None
+    n_dev = len(jax.devices(platform) if platform else jax.devices())
+    S = len(datasets)
+    pad = (-S) % n_dev
+    mesh = candidate_mesh(n_dev, platform=platform) if n_dev > 1 else None
+
+    ms = MultiSequenceSlam(cam, S + pad, params=params, mesh=mesh)
+    stamps = [[] for _ in range(S)]
+    for k in range(T):
+        cpts, ts = [], []
+        for s, ds in enumerate(datasets):
+            t, rgb, depth = ds.load(k)
+            stamps[s].append(t)
+            cpts.append(ms.compact(rgb, depth))
+            ts.append(t)
+        cpts += [cpts[-1]] * pad  # pad shards replay the last sequence
+        ts += [ts[-1]] * pad
+        ms.add_frames(np.stack(cpts), np.asarray(ts))
+        if (k + 1) % params["optimizer_skip_step"] == 0:
+            ms.optimize(
+                iterations=params["online_optimizer_iterations"],
+                blocking=False,
+            )
+
+    gt_stamps = gt_xyz = None
+    if all(ds.groundtruth is not None for ds in datasets):
+        gt_stamps = [ds.groundtruth[:, 0].tolist() for ds in datasets]
+        gt_xyz = [ds.groundtruth[:, 1:4] for ds in datasets]
+        gt_stamps += [gt_stamps[-1]] * pad
+        gt_xyz += [gt_xyz[-1]] * pad
+    levels, ate = ms.evaluation_protocol(gt_stamps=gt_stamps, gt_xyz=gt_xyz)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    report = {"devices": n_dev, "frames": T, "sequences": {}}
+    for s, ds in enumerate(datasets):
+        name = f"seq{s}_" + (Path(str(ds.root)).name or "")
+        for level, poses in levels.items():
+            write_trajectory(
+                out / f"{name}_estimate_iteration_{level}.txt",
+                stamps[s], poses[s],
+            )
+        entry = dict(ms.statistics()[s])
+        if ate:
+            entry["ate_rmse"] = {
+                str(lv): float(ate[lv][s]) for lv in sorted(ate)
+            }
+        report["sequences"][name] = entry
+    (out / "slam_multi_report.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+    return 0
+
+
 def cmd_view(args):
     """Offline 3D views of a saved result (the GL-viewer capability,
     reference src/glviewer.cpp, rendered headless — io/render3d.py)."""
@@ -363,6 +451,20 @@ def main(argv=None):
     vmp.add_argument("--max-frames", type=int, default=None)
     vmp.add_argument("-p", "--param", action="append", metavar="K=V")
     vmp.set_defaults(fn=cmd_vo_multi)
+
+    smp = sub.add_parser(
+        "slam-multi",
+        help="batched multi-sequence FULL SLAM (graph + loop closures + "
+             "5-level protocol), sharded one shard per device",
+    )
+    smp.add_argument("tum_dirs", nargs="+")
+    smp.add_argument("--out", default="slam_multi_out")
+    smp.add_argument("--devices", default="auto",
+                     help="'auto' (all devices) or 'cpu:N' virtual mesh")
+    smp.add_argument("--camera", default="default")
+    smp.add_argument("--max-frames", type=int, default=None)
+    smp.add_argument("-p", "--param", action="append", metavar="K=V")
+    smp.set_defaults(fn=cmd_slam_multi)
 
     viewp = sub.add_parser(
         "view", help="render a result dir (cloud + trajectory + edges) to PNGs"

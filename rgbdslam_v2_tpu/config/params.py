@@ -142,9 +142,10 @@ PARAM_DEFS = [
        "size is not divisible by 2x the cloud stride"),
     _p("tpu_gray_bits", 8,
        "[tpu] luma bits on the wire for the yc12 ingest: 8 (1 B/px) or "
-       "6 (4 px -> 3 B, -77 KB/frame on the link; quantization step 4/255 "
-       "~ 1/4 of the default FAST threshold — detection/descriptor noise "
-       "grows slightly on low-contrast scenes)"),
+       "6 (4 px -> 3 B with Bayer-ordered dithering, -77 KB/frame on the "
+       "link; quantization step 4/255 ~ 1/4 of the default FAST threshold "
+       "— detection/descriptor noise grows slightly on low-contrast "
+       "scenes)"),
     _p("tpu_emm_exact", False,
        "[tpu] use the reference's verbatim 9-sample EMM neighborhood search "
        "instead of the pooled [min,max] fast path (precision studies; "

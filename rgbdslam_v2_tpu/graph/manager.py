@@ -91,6 +91,35 @@ def _pack6(gray8: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+_BAYER4 = np.array(
+    [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+    np.uint16,
+)
+_dither_plane_cache: dict = {}
+
+
+def _dither6(gray8: np.ndarray) -> np.ndarray:
+    """Ordered (Bayer 4x4) dithering before the 6-bit truncation.
+
+    Plain >>2 truncation produces spatially-correlated banding that flips
+    BRIEF pair comparisons consistently across a region (measured: protocol
+    ATE 0.0229 vs 0.0192 m at 8 bit). Adding the tiled Bayer offset
+    (0..3 = one quantization step, zero-mean after decode) before the shift
+    converts that bias into high-frequency noise the descriptor's smoothing
+    averages out. The g>>6 term cancels the device decoder's bit-replication
+    bias (decode(q) = 4q + q>>4 ~ g + g/64), making the decoded mean track
+    the original. One vectorized i16 add over the plane (~0.3 ms at VGA)."""
+    H, W = gray8.shape
+    off = _dither_plane_cache.get((H, W))
+    if off is None:
+        off = (_BAYER4[
+            np.arange(H)[:, None] % 4, np.arange(W)[None, :] % 4
+        ] >> 2).astype(np.int16)  # 16 Bayer levels -> 0..3 (one 6-bit step)
+        _dither_plane_cache[(H, W)] = off
+    g = gray8.astype(np.int16)
+    return np.clip(g + off - (g >> 6), 0, 255).astype(np.uint8)
+
+
 def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
                   gray_bits: int = 8):
     """Host-side ingest compaction into ONE packed uint8 buffer.
@@ -139,7 +168,9 @@ def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
 
     if fmt == "yc12":
         gray_wire = (
-            _pack6(gray8.reshape(-1)) if gray_bits == 6 else gray8.reshape(-1)
+            _pack6(_dither6(gray8).reshape(-1))
+            if gray_bits == 6
+            else gray8.reshape(-1)
         )
         d12 = _pack12(_d12_lut()[d16[::stride, ::stride]].reshape(-1))
         cs = 2 * stride

@@ -95,6 +95,28 @@ def test_gray6_pack_roundtrip():
     assert np.abs(recon.astype(int) - g.astype(int)).max() <= 4
 
 
+def test_gray6_dither_unbiased():
+    """Bayer dithering before the 6-bit truncation: over any flat 4x4 patch
+    the decoded mean tracks the original within ~1 gray level (plain
+    truncation biases by up to -3), and per-pixel error stays within one
+    quantization step."""
+    from rgbdslam_v2_tpu.graph.manager import _dither6
+
+    H, W = 32, 64
+    for level in (37, 100, 201, 254):
+        g = np.full((H, W), level, np.uint8)
+        q = (_dither6(g) >> 2).astype(np.int32)
+        recon = (q << 2) | (q >> 4)
+        err = recon - int(level)
+        assert np.abs(err.mean()) <= 1.2, (level, err.mean())
+        assert np.abs(err).max() <= 4
+    # gradient image: decoded image correlates tightly with the original
+    ramp = np.tile(np.arange(W, dtype=np.uint8) * 4, (H, 1))
+    q = (_dither6(ramp) >> 2).astype(np.int32)
+    recon = (q << 2) | (q >> 4)
+    assert np.abs(recon - ramp.astype(np.int32)).mean() < 2.0
+
+
 def test_gray6_ingest_extracts():
     """gray_bits=6 end-to-end through _prepare_and_extract: keypoints still
     fire on a textured frame and depth path is unaffected."""
