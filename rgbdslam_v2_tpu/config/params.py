@@ -140,12 +140,12 @@ PARAM_DEFS = [
        "stride-s RGB, 1.15 MB/frame). The tunnel link (~40 MB/s) makes the "
        "payload size the throughput bound; falls back to raw when the frame "
        "size is not divisible by 2x the cloud stride"),
-    _p("tpu_gray_bits", 8,
-       "[tpu] luma bits on the wire for the yc12 ingest: 8 (1 B/px) or "
-       "6 (4 px -> 3 B with Bayer-ordered dithering, -77 KB/frame on the "
-       "link; quantization step 4/255 ~ 1/4 of the default FAST threshold "
-       "— detection/descriptor noise grows slightly on low-contrast "
-       "scenes)"),
+    _p("tpu_gray_bits", 6,
+       "[tpu] luma bits on the wire for the yc12 ingest: 6 (4 px -> 3 B "
+       "with Bayer-ordered dithering, the default: -77 KB/frame = +24% fps "
+       "on the ~40 MB/s link at equal protocol ATE, tools/ab_gray6.py) or "
+       "8 (1 B/px, exact luma for low-contrast scenes / precision "
+       "studies)"),
     _p("tpu_emm_exact", False,
        "[tpu] use the reference's verbatim 9-sample EMM neighborhood search "
        "instead of the pooled [min,max] fast path (precision studies; "

@@ -121,7 +121,7 @@ def _dither6(gray8: np.ndarray) -> np.ndarray:
 
 
 def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
-                  gray_bits: int = 8):
+                  gray_bits: int = 6):
     """Host-side ingest compaction into ONE packed uint8 buffer.
 
     One buffer means ONE transfer per frame — each h2d through the tunnel
@@ -218,7 +218,7 @@ def _unpack_compact(packed, H: int, W: int, stride: int):
     return gray8, depth16, color
 
 
-def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 8):
+def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6):
     """Device-side inverse of compact_frame(fmt="yc12"): packed u8 ->
     (gray u8 (H,W), depth_small f32 meters (h,w), color u8 (h,w,3)).
 
@@ -279,7 +279,7 @@ def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 8):
 )
 def _prepare_and_extract(
     extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-    packed, fmt: str = "yc12", gray_bits: int = 8
+    packed, fmt: str = "yc12", gray_bits: int = 6
 ):
     """Fused per-frame device prep on the PACKED compact ingest buffer:
     unpack (slice/bitcast), u8 gray -> f32, depth decode -> meters + masking,

@@ -54,9 +54,9 @@ def test_yc12_unpack_depth_and_color():
     rng = np.random.default_rng(1)
     rgb = rng.integers(0, 255, (cam.height, cam.width, 3), np.uint8)
     depth = rng.uniform(0.5, 6.0, (cam.height, cam.width)).astype(np.float32)
-    packed = compact_frame(rgb, depth, 2, fmt="yc12")
+    packed = compact_frame(rgb, depth, 2, fmt="yc12", gray_bits=8)
     gray8, depth_small, color = _unpack_yc12(
-        jnp.asarray(packed), cam.height, cam.width, 2
+        jnp.asarray(packed), cam.height, cam.width, 2, gray_bits=8
     )
     # depth: matches the stride-2 subsample within the 12-bit budget
     ref = np.round(depth[::2, ::2] * DEPTH_SCALE) / DEPTH_SCALE
@@ -66,8 +66,10 @@ def test_yc12_unpack_depth_and_color():
     # color: reconstruction within chroma-subsampling error on smooth areas;
     # a constant-color frame reconstructs near-exactly
     flat = np.full((cam.height, cam.width, 3), (200, 64, 120), np.uint8)
-    packed2 = compact_frame(flat, depth, 2, fmt="yc12")
-    _, _, color2 = _unpack_yc12(jnp.asarray(packed2), cam.height, cam.width, 2)
+    packed2 = compact_frame(flat, depth, 2, fmt="yc12", gray_bits=8)
+    _, _, color2 = _unpack_yc12(
+        jnp.asarray(packed2), cam.height, cam.width, 2, gray_bits=8
+    )
     assert np.abs(np.asarray(color2).astype(int) - flat[::2, ::2]).max() <= 3
 
 
@@ -134,9 +136,11 @@ def test_gray6_ingest_extracts():
         ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed),
         fmt="yc12", gray_bits=6,
     )
-    packed8 = compact_frame(rgb, np.asarray(depth), 2, fmt="yc12")
+    packed8 = compact_frame(rgb, np.asarray(depth), 2, fmt="yc12",
+                            gray_bits=8)
     kp8, ds8, _ = _prepare_and_extract(
-        ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed8), fmt="yc12"
+        ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed8), fmt="yc12",
+        gray_bits=8,
     )
     n6 = int(np.asarray(kp.valid).sum())
     n8 = int(np.asarray(kp8.valid).sum())
@@ -160,9 +164,10 @@ def test_yc12_matches_raw_keypoints():
     ext = OrbExtractor(max_keypoints=128, n_levels=3)
     outs = {}
     for fmt in ("raw", "yc12"):
-        packed = compact_frame(rgb, depth, 2, fmt=fmt)
+        packed = compact_frame(rgb, depth, 2, fmt=fmt, gray_bits=8)
         kp, ds, _ = _prepare_and_extract(
-            ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed), fmt=fmt
+            ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed), fmt=fmt,
+            gray_bits=8,
         )
         outs[fmt] = (kp, np.asarray(ds))
     kp_r, ds_r = outs["raw"]
