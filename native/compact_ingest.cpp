@@ -1,0 +1,199 @@
+// Native single-pass yc12 ingest compaction (host -> wire format).
+//
+// The TPU ingest design ships ONE packed buffer per frame over the ~40 MB/s
+// tunnel link (see rgbdslam_v2_tpu/graph/manager.py compact_frame — this is
+// its bit-exact C++ twin for the "yc12" format). The Python/numpy packer
+// costs ~3 ms/frame of the single host core (five full-plane passes:
+// grayscale, dither, bit-pack, depth LUT, chroma); on the fully-serial
+// tunnel pipeline (host pack -> wire -> device) that is ~15% of the frame
+// budget. This version fuses everything into one pass per plane,
+// ~0.3 ms/frame at VGA.
+//
+// Capability parity note: the reference's ingest is native too (cv_bridge
+// image conversion inside roscpp callbacks, openni_listener.cpp:139-217);
+// a TPU host additionally has to WIRE-ENCODE the frame, so the encoder is
+// part of the native runtime here.
+//
+// Wire layout (gray_bits=6):
+//   [Y6 packed H*W*3/4 | depth12 (H/s)*(W/s)*3/2 | Cb (H/2s)*(W/2s) | Cr ..]
+// gray_bits=8 replaces the first section with raw Y bytes (H*W).
+//
+// Bit-exactness contract (asserted in tests/test_native_compact.py):
+//  - Y from RGB: (77R + 150G + 29B) >> 8  — the numpy fallback formula.
+//    (The Python path prefers cv2's SIMD cvtColor whose fixed-point
+//    rounding differs by at most 1 LSB; when this native packer is
+//    available it REPLACES that path entirely, so there is no mixing.)
+//  - 6-bit dither: Bayer-4x4 offsets (0..3) + g - (g>>6), clip, >>2 —
+//    identical to manager._dither6/_pack6.
+//  - depth: u16 -> clip(round(sqrt(d*256)), 0, 4095), nibble-packed pairs —
+//    identical to manager._d12_lut/_pack12 (float depth in meters is
+//    truncated to u16 at 1/5000 m exactly like np.astype).
+//  - chroma: BT.601 floats evaluated in the numpy expression's exact f32
+//    order, truncated to u8 (build with -ffp-contract=off so no FMA
+//    re-rounding diverges from numpy).
+//
+// Build: part of librgbd_loader.so (see io/native_loader.py).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// _BAYER4 >> 2 (one 6-bit quantization step), tiled 4x4.
+const int kBayer6[4][4] = {
+    {0, 2, 0, 2}, {3, 1, 3, 1}, {0, 2, 0, 2}, {3, 1, 3, 1}};
+
+uint16_t* d12_lut() {
+  static uint16_t lut[65536];
+  static bool init = false;
+  if (!init) {
+    for (int d = 0; d < 65536; ++d) {
+      double q = std::nearbyint(std::sqrt(static_cast<double>(d) * 256.0));
+      lut[d] = static_cast<uint16_t>(q < 0 ? 0 : (q > 4095 ? 4095 : q));
+    }
+    init = true;
+  }
+  return lut;
+}
+
+inline uint8_t clip_u8(int v) {
+  return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of bytes written to `out`, or -1 on bad arguments.
+// Exactly one of (rgb) / (gray_in) must be non-null for the luma source;
+// exactly one of (d16) / (dmeters) must be non-null for depth.
+// Requirements (checked): H*W % 4 == 0 for gray_bits=6; (H/s)*(W/s) even;
+// stride >= 1; gray_bits in {6, 8}.
+int compact_yc12(const uint8_t* rgb, const uint8_t* gray_in,
+                 const uint16_t* d16, const float* dmeters, int H, int W,
+                 int stride, int gray_bits, uint8_t* out) {
+  if ((rgb == nullptr) == (gray_in == nullptr)) return -1;
+  if ((d16 == nullptr) == (dmeters == nullptr)) return -1;
+  if (stride < 1 || (gray_bits != 6 && gray_bits != 8)) return -1;
+  const int s = stride;
+  const int hs = (H + s - 1) / s, ws = (W + s - 1) / s;
+  if (gray_bits == 6 && (H * W) % 4 != 0) return -1;
+  if ((hs * ws) % 2 != 0) return -1;
+
+  uint8_t* p = out;
+
+  // ---- luma: RGB -> Y (+ dither + 6-bit pack), one pass ------------------
+  if (gray_bits == 6) {
+    // 4 consecutive pixels -> 3 bytes; W % 4 may be nonzero, so carry the
+    // quad across row boundaries exactly like the flattened numpy reshape.
+    uint8_t quad[4];
+    int qn = 0;
+    for (int y = 0; y < H; ++y) {
+      const int* brow = kBayer6[y & 3];
+      const uint8_t* rp = rgb ? rgb + static_cast<size_t>(y) * W * 3 : nullptr;
+      const uint8_t* gp =
+          gray_in ? gray_in + static_cast<size_t>(y) * W : nullptr;
+      for (int x = 0; x < W; ++x) {
+        int g8;
+        if (rp) {
+          const uint8_t* px = rp + 3 * x;
+          g8 = (px[0] * 77 + px[1] * 150 + px[2] * 29) >> 8;
+        } else {
+          g8 = gp[x];
+        }
+        quad[qn++] =
+            clip_u8(g8 + brow[x & 3] - (g8 >> 6)) >> 2;  // dither + quantize
+        if (qn == 4) {
+          p[0] = static_cast<uint8_t>(quad[0] | ((quad[1] & 0x03) << 6));
+          p[1] = static_cast<uint8_t>((quad[1] >> 2) | ((quad[2] & 0x0F) << 4));
+          p[2] = static_cast<uint8_t>((quad[2] >> 4) | (quad[3] << 2));
+          p += 3;
+          qn = 0;
+        }
+      }
+    }
+  } else {
+    if (rgb) {
+      for (int y = 0; y < H; ++y) {
+        const uint8_t* rp = rgb + static_cast<size_t>(y) * W * 3;
+        for (int x = 0; x < W; ++x) {
+          const uint8_t* px = rp + 3 * x;
+          p[x] = static_cast<uint8_t>((px[0] * 77 + px[1] * 150 + px[2] * 29) >>
+                                      8);
+        }
+        p += W;
+      }
+    } else {
+      std::memcpy(p, gray_in, static_cast<size_t>(H) * W);
+      p += static_cast<size_t>(H) * W;
+    }
+  }
+
+  // ---- depth: strided u16 -> 12-bit sqrt code, nibble-packed pairs -------
+  const uint16_t* lut = d12_lut();
+  uint16_t pair[2];
+  int pn = 0;
+  for (int y = 0; y < H; y += s) {
+    const uint16_t* drow = d16 ? d16 + static_cast<size_t>(y) * W : nullptr;
+    const float* frow =
+        dmeters ? dmeters + static_cast<size_t>(y) * W : nullptr;
+    for (int x = 0; x < W; x += s) {
+      uint16_t d;
+      if (drow) {
+        d = drow[x];
+      } else {
+        float m = frow[x];
+        // NaN/±inf/negative -> 0 (np.nan_to_num + clip semantics)
+        if (!(m > 0.0f) || !std::isfinite(m)) m = 0.0f;
+        float scaled = m * 5000.0f;
+        d = scaled >= 65535.0f ? 65535
+                               : static_cast<uint16_t>(scaled);  // truncation
+      }
+      pair[pn++] = lut[d];
+      if (pn == 2) {
+        p[0] = static_cast<uint8_t>(pair[0] & 0xFF);
+        p[1] = static_cast<uint8_t>(((pair[0] >> 8) & 0x0F) |
+                                    ((pair[1] & 0x0F) << 4));
+        p[2] = static_cast<uint8_t>(pair[1] >> 4);
+        p += 3;
+        pn = 0;
+      }
+    }
+  }
+
+  // ---- chroma at stride 2s: BT.601 Cb then Cr planes ---------------------
+  const int cs = 2 * s;
+  const int hc = (H + cs - 1) / cs, wc = (W + cs - 1) / cs;
+  uint8_t* cbp = p;
+  uint8_t* crp = p + static_cast<size_t>(hc) * wc;
+  if (rgb) {
+    for (int y = 0; y < H; y += cs) {
+      const uint8_t* rp = rgb + static_cast<size_t>(y) * W * 3;
+      for (int x = 0; x < W; x += cs) {
+        const uint8_t* px = rp + 3 * x;
+        float r = static_cast<float>(px[0]);
+        float g = static_cast<float>(px[1]);
+        float b = static_cast<float>(px[2]);
+        // numpy f32 evaluation order: ((128 - c1*r) - c2*g) + c3*b
+        float cb = ((128.0f - static_cast<float>(0.168736) * r) -
+                    static_cast<float>(0.331264) * g) +
+                   0.5f * b;
+        float cr = ((128.0f + 0.5f * r) - static_cast<float>(0.418688) * g) -
+                   static_cast<float>(0.081312) * b;
+        if (cb < 0.0f) cb = 0.0f;
+        if (cb > 255.0f) cb = 255.0f;
+        if (cr < 0.0f) cr = 0.0f;
+        if (cr > 255.0f) cr = 255.0f;
+        *cbp++ = static_cast<uint8_t>(cb);  // truncation, like np.astype
+        *crp++ = static_cast<uint8_t>(cr);
+      }
+    }
+  } else {
+    std::memset(cbp, 128, static_cast<size_t>(hc) * wc * 2);
+    crp += static_cast<size_t>(hc) * wc;
+  }
+  return static_cast<int>((crp)-out);
+}
+
+}  // extern "C"

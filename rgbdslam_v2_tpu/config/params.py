@@ -38,8 +38,8 @@ PARAM_DEFS = [
     _p("adjuster_max_iterations", 5,
        "adaptive detection ladder depth: halve the FAST threshold (one "
        "cached compiled variant per rung) while depth-valid corners fall "
-       "below max(min_keypoints, max_keypoints/2); 0 disables "
-       "(DetectorAdjuster parity, feature_adjuster.cpp:131-175)"),
+       "below max(min_keypoints, 2*min_matches) — i.e. real starvation; "
+       "0 disables (DetectorAdjuster parity, feature_adjuster.cpp:131-175)"),
     _p("detector_grid_resolution", 3, "detect per grid cell (NxN) to spread keypoints"),
     _p("squareroot_descriptor_space", True, "RootSIFT: compare SIFT in sqrt(L1) space"),
     _p("max_matches", 300, "keep strongest N matches (static shape)"),

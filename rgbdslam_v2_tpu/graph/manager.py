@@ -145,6 +145,15 @@ def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
     rgb = np.asarray(rgb)
     depth = np.asarray(depth)
     H, W = depth.shape
+    if fmt == "yc12":
+        # Single-pass C encoder (native/compact_ingest.cpp): bit-exact for
+        # the u8-RGB/u16-or-f32-depth layouts, ~0.3 ms vs ~3 ms numpy on
+        # the one host core; None -> numpy fallback below.
+        from ..io.native_loader import compact_yc12 as _native_yc12
+
+        out = _native_yc12(rgb, depth, stride, gray_bits)
+        if out is not None:
+            return out
     if rgb.ndim == 3:
         try:  # cv2's SIMD cvtColor is ~20x the numpy reduction (14 -> 0.7 ms)
             import cv2
@@ -1518,7 +1527,14 @@ class GraphManager:
         if self._base_threshold is None or max_rungs <= 0:
             return
         t = self.extractor.fast_threshold
-        low_bar = max(p["min_keypoints"], self.k_cap // 2)
+        # Fire on real starvation only: below min_keypoints (or too few to
+        # clear the match gate), matching cannot sustain tracking — the
+        # reference's adjuster exists to recover that case
+        # (feature_adjuster.cpp:131-175). A higher bar (e.g. k_cap/2)
+        # measurably hurts: on the bench scene it halves the threshold on
+        # ordinary frames and floods the top-K with noise corners
+        # (protocol ATE L1 0.0283 vs 0.0257 at 6-bit luma, tools/ab_ate.py).
+        low_bar = max(p["min_keypoints"], 2 * p["min_matches"])
         new_t = t
         if n_valid_kp < low_bar:
             floor = self._base_threshold * (0.5 ** max_rungs)

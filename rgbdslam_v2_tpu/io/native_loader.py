@@ -19,6 +19,7 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _SRC = _NATIVE_DIR / "rgbd_loader.cpp"
+_SRC_COMPACT = _NATIVE_DIR / "compact_ingest.cpp"
 _LIB = _NATIVE_DIR / "librgbd_loader.so"
 
 _lib = None
@@ -30,10 +31,14 @@ def _ensure_built():
     if _lib is not None or _build_error is not None:
         return _lib
     try:
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        src_mtime = max(_SRC.stat().st_mtime, _SRC_COMPACT.stat().st_mtime)
+        if not _LIB.exists() or _LIB.stat().st_mtime < src_mtime:
             subprocess.run(
                 [
-                    "g++", "-O3", "-shared", "-fPIC", str(_SRC),
+                    # -ffp-contract=off: the compact encoder's chroma floats
+                    # must round exactly like numpy (no FMA re-rounding)
+                    "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                    str(_SRC), str(_SRC_COMPACT),
                     "-o", str(_LIB), "-lpng", "-lpthread",
                 ],
                 check=True,
@@ -57,6 +62,12 @@ def _ensure_built():
         lib.decode_depth_png.restype = ctypes.c_int
         lib.decode_depth_png.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int
+        ]
+        lib.compact_yc12.restype = ctypes.c_int
+        lib.compact_yc12.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
         ]
         _lib = lib
     except Exception as e:  # toolchain/libpng missing — callers fall back
@@ -148,3 +159,50 @@ def decode_depth(path, width=640, height=480) -> np.ndarray:
     if lib.decode_depth_png(str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), width, height):
         raise RuntimeError(f"decode failed: {path}")
     return out.astype(np.float32) / 5000.0
+
+
+def compact_yc12(rgb, depth, stride: int, gray_bits: int):
+    """Single-pass C yc12 wire encoder (native/compact_ingest.cpp).
+
+    Bit-exact twin of the numpy yc12 path in graph.manager.compact_frame
+    (same dither/quantization/packing; gray uses the numpy-fallback BT.601
+    fixed-point formula). ~0.3 ms/frame at VGA vs ~3 ms for the numpy
+    multi-pass — on the fully serial host->wire->device pipeline that is
+    direct frame-time. Returns the packed uint8 buffer, or None when the
+    native library or the input layout is unsupported (caller falls back
+    to numpy).
+    """
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    rgb = np.asarray(rgb)
+    depth = np.asarray(depth)
+    if depth.ndim != 2:
+        return None
+    H, W = depth.shape
+    rgb_p = gray_p = None
+    if rgb.ndim == 3 and rgb.dtype == np.uint8 and rgb.shape == (H, W, 3):
+        rgb_c = np.ascontiguousarray(rgb)
+        rgb_p = rgb_c.ctypes.data_as(ctypes.c_void_p)
+    elif rgb.ndim == 2 and rgb.dtype == np.uint8 and rgb.shape == (H, W):
+        gray_c = np.ascontiguousarray(rgb)
+        gray_p = gray_c.ctypes.data_as(ctypes.c_void_p)
+    else:
+        return None
+    d16_p = df_p = None
+    if depth.dtype == np.uint16:
+        d16_c = np.ascontiguousarray(depth)
+        d16_p = d16_c.ctypes.data_as(ctypes.c_void_p)
+    elif depth.dtype == np.float32:
+        df_c = np.ascontiguousarray(depth)
+        df_p = df_c.ctypes.data_as(ctypes.c_void_p)
+    else:
+        return None
+    out = np.empty(H * W * 4, np.uint8)
+    n = lib.compact_yc12(
+        rgb_p, gray_p, d16_p, df_p, H, W, int(stride), int(gray_bits),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if n <= 0:
+        return None
+    return out[:n]

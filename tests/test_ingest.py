@@ -148,13 +148,17 @@ def test_gray6_ingest_extracts():
     np.testing.assert_allclose(np.asarray(ds), np.asarray(ds8))
 
 
-def test_yc12_matches_raw_keypoints():
+def test_yc12_matches_raw_keypoints(monkeypatch):
     """The extracted keypoints from yc12 and raw ingest agree: identical
     detector input (gray is bit-identical), depth differs only by the
-    12-bit quantization."""
-    from rgbdslam_v2_tpu.io import SyntheticWorld
+    12-bit quantization. The native C encoder is bypassed so both formats
+    derive luma from the same (cv2) converter — the wire formats are what
+    is under test here; native-vs-numpy byte equality lives in
+    test_native_compact.py."""
+    from rgbdslam_v2_tpu.io import SyntheticWorld, native_loader
     from rgbdslam_v2_tpu.models.orb import OrbExtractor
 
+    monkeypatch.setattr(native_loader, "compact_yc12", lambda *a: None)
     cam = _cam()
     world = SyntheticWorld.create(seed=0, texture_size=256, cam=cam)
     T = world.orbit_trajectory(4, seed=1)[2]

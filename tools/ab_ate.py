@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""ATE bisect across ingest variants on the real chip. Run ALONE.
+
+Round-2 (raw u16 ingest, gray8) measured protocol ATE L1/L4
+0.0195/0.0172 m; the round-3 yc12 wire + compute changes moved that to
+0.0283/0.0218 at gray6. This isolates which approximation owns the
+regression: variants are (ingest_format, gray_bits) pairs run through
+the IDENTICAL bench phase-1 config + 5-level protocol.
+
+Usage: python tools/ab_ate.py [variant ...]
+  variants: yc12-6 yc12-8 raw-8 (default: all three)
+"""
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+import rgbdslam_v2_tpu
+
+rgbdslam_v2_tpu.enable_compilation_cache()
+import numpy as np
+
+from rgbdslam_v2_tpu.config import ParameterServer
+from rgbdslam_v2_tpu.core.camera import TUM_DEFAULT
+from rgbdslam_v2_tpu.pipeline import SlamPipeline
+
+z = np.load("/root/repo/.bench_cache/frames_520_s2_n01.npz")
+poses, rgbs, depths = z["poses"], z["rgbs"], z["depths_u16"]
+n = len(rgbs)
+stamps = np.arange(n) / 30.0
+warmup = 20
+
+VARIANTS = {
+    "yc12-6": dict(tpu_ingest_format="yc12", tpu_gray_bits=6),
+    "yc12-8": dict(tpu_ingest_format="yc12", tpu_gray_bits=8),
+    "raw-8": dict(tpu_ingest_format="raw", tpu_gray_bits=8),
+    # ladder-off variants: isolate the adaptive-detection contribution
+    "yc12-6-na": dict(tpu_ingest_format="yc12", tpu_gray_bits=6,
+                      adjuster_max_iterations=0),
+    "yc12-8-na": dict(tpu_ingest_format="yc12", tpu_gray_bits=8,
+                      adjuster_max_iterations=0),
+    "raw-8-na": dict(tpu_ingest_format="raw", tpu_gray_bits=8,
+                     adjuster_max_iterations=0),
+}
+
+names = sys.argv[1:] or list(VARIANTS)
+for name in names:
+    over = VARIANTS[name]
+    params = ParameterServer(dict(
+        max_keypoints=600, tpu_max_nodes=1024, tpu_max_edges=8192,
+        tpu_candidate_batch=8, ransac_iterations=200, optimizer_skip_step=10,
+        keep_all_nodes=True, observability_threshold=0.5,
+        pose_relative_to="inaffected", emm_skip_step=4, **over,
+    ))
+    pipe = SlamPipeline(TUM_DEFAULT, params)
+    for i in range(warmup):
+        pipe.process_frame(rgbs[i], depths[i], float(stamps[i]),
+                           gt_pose=poses[0] if i == 0 else None)
+    pipe.manager.optimize(blocking=True)
+    float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
+    t0 = time.perf_counter()
+    pipe.params.set("skip_first_n_frames", warmup)
+    pipe.run_arrays(rgbs, depths, stamps)
+    float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
+    fps = (n - warmup) / (time.perf_counter() - t0)
+    st = pipe.manager.statistics()
+    with tempfile.TemporaryDirectory() as td:
+        rep = pipe.evaluation_protocol(
+            td, gt_stamps=list(stamps), gt_xyz=poses[:, :3, 3]
+        )
+    ate = "/".join(f"{rep.ate_rmse.get(l, float('nan')):.4f}"
+                   for l in range(5))
+    print(f"[A/B] {name}: {fps:.2f} fps, ATE L0..L4 {ate} m, "
+          f"{st['active_edges']} edges ({st['loop_edges']} loop)",
+          flush=True)
