@@ -18,8 +18,9 @@ growth, plus the >1024-node full-graph optimization (PCG path) runtime.
 Reference: fr2_desk builds 2866 nodes / 37k edges in 273.7 s (~10 fps,
 test/README:114).
 
-Measured work per frame: compact yc12 ingest (0.46 MB: Y + 12-bit stride-2
-depth + 4:2:0 chroma), ORB-600 extraction, 8-candidate MXU matching +
+Measured work per frame: compact yc12 ingest (0.34 MB: 6-bit dithered Y +
+10-bit sqrt-coded stride-2 depth + 4:2:0 chroma at stride 8, C-packed),
+ORB-600 extraction, 8-candidate MXU matching +
 batched RANSAC with Mahalanobis inliers + bidirectional EMM validation,
 donated graph commit, amortized subgraph (inaffected) optimization — the
 full online protocol of the reference at fr1_desk settings
@@ -339,7 +340,7 @@ def _device_table(pipe, rgbs, depths, median_fps, n_steps=10):
     busy_ms = total_us / n_steps / 1e3
     print(f"[bench] device busy {busy_ms:.2f} ms/frame of "
           f"{frame_ms:.2f} ms budget ({100*busy_ms/frame_ms:.0f}% — "
-          "remainder is the tunnel wire + host dispatch; ~0.46 MB/frame "
+          "remainder is the tunnel wire + host dispatch; ~0.34 MB/frame "
           "ingest on a ~40 MB/s link)", file=sys.stderr)
     print("[bench] top device ops (ms/frame):", file=sys.stderr)
     for name, us in agg.most_common(12):

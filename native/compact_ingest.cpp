@@ -14,9 +14,11 @@
 // a TPU host additionally has to WIRE-ENCODE the frame, so the encoder is
 // part of the native runtime here.
 //
-// Wire layout (gray_bits=6):
-//   [Y6 packed H*W*3/4 | depth12 (H/s)*(W/s)*3/2 | Cb (H/2s)*(W/2s) | Cr ..]
-// gray_bits=8 replaces the first section with raw Y bytes (H*W).
+// Wire layout (gray_bits=6, depth_bits=10, chroma_mult=4 — the defaults):
+//   [Y6 packed H*W*3/4 | depth10 (H/s)*(W/s)*5/4 | Cb (H/cs)*(W/cs) | Cr ..]
+//   with cs = chroma_mult*s. gray_bits=8 ships raw Y bytes (H*W);
+//   depth_bits=12 ships nibble-packed pairs (3 B / 2 samples);
+//   chroma_mult=2 ships the denser 4:2:0-at-2s planes.
 //
 // Bit-exactness contract (asserted in tests/test_native_compact.py):
 //  - Y from RGB: (77R + 150G + 29B) >> 8  — the numpy fallback formula.
@@ -44,6 +46,9 @@ namespace {
 const int kBayer6[4][4] = {
     {0, 2, 0, 2}, {3, 1, 3, 1}, {0, 2, 0, 2}, {3, 1, 3, 1}};
 
+// sqrt-coded depth LUTs: q = round(sqrt(d * 2^(2b-16))) for b quantizer
+// bits — u16 range maps onto [0, 2^b), relative step shrinks as 1/sqrt(d)
+// (mm-scale near, noise-floor-dominated far; see manager._d12_lut).
 uint16_t* d12_lut() {
   static uint16_t lut[65536];
   static bool init = false;
@@ -51,6 +56,19 @@ uint16_t* d12_lut() {
     for (int d = 0; d < 65536; ++d) {
       double q = std::nearbyint(std::sqrt(static_cast<double>(d) * 256.0));
       lut[d] = static_cast<uint16_t>(q < 0 ? 0 : (q > 4095 ? 4095 : q));
+    }
+    init = true;
+  }
+  return lut;
+}
+
+uint16_t* d10_lut() {
+  static uint16_t lut[65536];
+  static bool init = false;
+  if (!init) {
+    for (int d = 0; d < 65536; ++d) {
+      double q = std::nearbyint(std::sqrt(static_cast<double>(d) * 16.0));
+      lut[d] = static_cast<uint16_t>(q < 0 ? 0 : (q > 1023 ? 1023 : q));
     }
     init = true;
   }
@@ -72,14 +90,17 @@ extern "C" {
 // stride >= 1; gray_bits in {6, 8}.
 int compact_yc12(const uint8_t* rgb, const uint8_t* gray_in,
                  const uint16_t* d16, const float* dmeters, int H, int W,
-                 int stride, int gray_bits, uint8_t* out) {
+                 int stride, int gray_bits, int depth_bits, int chroma_mult,
+                 uint8_t* out) {
   if ((rgb == nullptr) == (gray_in == nullptr)) return -1;
   if ((d16 == nullptr) == (dmeters == nullptr)) return -1;
   if (stride < 1 || (gray_bits != 6 && gray_bits != 8)) return -1;
+  if (depth_bits != 10 && depth_bits != 12) return -1;
+  if (chroma_mult != 2 && chroma_mult != 4) return -1;
   const int s = stride;
   const int hs = (H + s - 1) / s, ws = (W + s - 1) / s;
   if (gray_bits == 6 && (H * W) % 4 != 0) return -1;
-  if ((hs * ws) % 2 != 0) return -1;
+  if ((hs * ws) % (depth_bits == 10 ? 4 : 2) != 0) return -1;
 
   uint8_t* p = out;
 
@@ -130,9 +151,11 @@ int compact_yc12(const uint8_t* rgb, const uint8_t* gray_in,
     }
   }
 
-  // ---- depth: strided u16 -> 12-bit sqrt code, nibble-packed pairs -------
-  const uint16_t* lut = d12_lut();
-  uint16_t pair[2];
+  // ---- depth: strided u16 -> sqrt code (12-bit pairs -> 3 B or 10-bit
+  // quads -> 5 B) ----------------------------------------------------------
+  const uint16_t* lut = depth_bits == 10 ? d10_lut() : d12_lut();
+  const int group = depth_bits == 10 ? 4 : 2;
+  uint16_t qg[4];
   int pn = 0;
   for (int y = 0; y < H; y += s) {
     const uint16_t* drow = d16 ? d16 + static_cast<size_t>(y) * W : nullptr;
@@ -150,20 +173,29 @@ int compact_yc12(const uint8_t* rgb, const uint8_t* gray_in,
         d = scaled >= 65535.0f ? 65535
                                : static_cast<uint16_t>(scaled);  // truncation
       }
-      pair[pn++] = lut[d];
-      if (pn == 2) {
-        p[0] = static_cast<uint8_t>(pair[0] & 0xFF);
-        p[1] = static_cast<uint8_t>(((pair[0] >> 8) & 0x0F) |
-                                    ((pair[1] & 0x0F) << 4));
-        p[2] = static_cast<uint8_t>(pair[1] >> 4);
-        p += 3;
+      qg[pn++] = lut[d];
+      if (pn == group) {
+        if (group == 2) {
+          p[0] = static_cast<uint8_t>(qg[0] & 0xFF);
+          p[1] = static_cast<uint8_t>(((qg[0] >> 8) & 0x0F) |
+                                      ((qg[1] & 0x0F) << 4));
+          p[2] = static_cast<uint8_t>(qg[1] >> 4);
+          p += 3;
+        } else {  // 4 x 10-bit -> 5 B, little-endian bit stream
+          p[0] = static_cast<uint8_t>(qg[0] & 0xFF);
+          p[1] = static_cast<uint8_t>((qg[0] >> 8) | ((qg[1] & 0x3F) << 2));
+          p[2] = static_cast<uint8_t>((qg[1] >> 6) | ((qg[2] & 0x0F) << 4));
+          p[3] = static_cast<uint8_t>((qg[2] >> 4) | ((qg[3] & 0x03) << 6));
+          p[4] = static_cast<uint8_t>(qg[3] >> 2);
+          p += 5;
+        }
         pn = 0;
       }
     }
   }
 
-  // ---- chroma at stride 2s: BT.601 Cb then Cr planes ---------------------
-  const int cs = 2 * s;
+  // ---- chroma at stride chroma_mult*s: BT.601 Cb then Cr planes ----------
+  const int cs = chroma_mult * s;
   const int hc = (H + cs - 1) / cs, wc = (W + cs - 1) / cs;
   uint8_t* cbp = p;
   uint8_t* crp = p + static_cast<size_t>(hc) * wc;

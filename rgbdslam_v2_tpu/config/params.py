@@ -135,9 +135,10 @@ PARAM_DEFS = [
        "[tpu] frames fused into one device dispatch (1 or 2; 2 halves the "
        "per-frame dispatch/transfer round-trips on high-latency links)"),
     _p("tpu_ingest_format", "yc12",
-       "[tpu] wire format of the per-frame ingest buffer: yc12 (Y + 12-bit "
-       "stride-s depth + 4:2:0 chroma, 0.46 MB/frame) | raw (u16 depth + "
-       "stride-s RGB, 1.15 MB/frame). The tunnel link (~40 MB/s) makes the "
+       "[tpu] wire format of the per-frame ingest buffer: yc12 (dithered "
+       "6-bit Y + 10-bit sqrt stride-s depth + sparse 4:2:0 chroma, "
+       "0.34 MB/frame at defaults) | raw (u16 depth + stride-s RGB, "
+       "1.15 MB/frame). The tunnel link (~30-45 MB/s) makes the "
        "payload size the throughput bound; falls back to raw when the frame "
        "size is not divisible by 2x the cloud stride"),
     _p("tpu_gray_bits", 6,
@@ -146,6 +147,16 @@ PARAM_DEFS = [
        "on the ~40 MB/s link at equal protocol ATE, tools/ab_gray6.py) or "
        "8 (1 B/px, exact luma for low-contrast scenes / precision "
        "studies)"),
+    _p("tpu_depth_bits", 10,
+       "[tpu] sqrt-coded depth bits on the wire for the yc12 ingest: 10 "
+       "(1.25 B/sample, error 3.5-6 mm — 3-15x below the 0.01z^2 sensor "
+       "noise floor, -19 KB/frame on the ~40 MB/s link) or 12 "
+       "(1.5 B/sample, 0.9-1.3 mm, precision studies)"),
+    _p("tpu_edge_info", "scalar",
+       "[tpu] visual edge information matrix: scalar (inliers/rmse^2 * I6, "
+       "the reference's isotropic weight) | hessian (anisotropic GN pose "
+       "information from the match geometry, trace-matched to the scalar "
+       "magnitude; ops/registration.pose_information)"),
     _p("tpu_emm_exact", False,
        "[tpu] use the reference's verbatim 9-sample EMM neighborhood search "
        "instead of the pooled [min,max] fast path (precision studies; "

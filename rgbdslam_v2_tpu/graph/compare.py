@@ -20,7 +20,7 @@ from ..core.camera import Intrinsics, backproject_grid
 from ..models.types import Keypoints
 from ..ops.emm import emm_pool_maps, observation_likelihood
 from ..ops.matching import match_descriptors
-from ..ops.registration import ransac_register
+from ..ops.registration import pose_information, ransac_register
 from .node_store import NodeStore
 
 
@@ -35,6 +35,7 @@ class CompareResult(NamedTuple):
     emm_quality: jnp.ndarray  # (B,) float32
     emm_inlier_frac: jnp.ndarray  # (B,) float32
     emm_all: jnp.ndarray  # (B,) int32
+    info6: jnp.ndarray  # (B, 6, 6) GN pose information (zeros in scalar mode)
 
 
 @functools.partial(
@@ -56,6 +57,7 @@ class CompareResult(NamedTuple):
         "cam_cx",
         "cam_cy",
         "emm_exact",
+        "edge_info_mode",
     ),
 )
 def compare_to_candidates(
@@ -80,6 +82,7 @@ def compare_to_candidates(
     cam_cx: float = 319.5,
     cam_cy: float = 239.5,
     emm_exact: bool = False,
+    edge_info_mode: str = "scalar",
 ) -> CompareResult:
     B = cand_idx.shape[0]
     h, w = cam_small.height, cam_small.width
@@ -208,6 +211,20 @@ def compare_to_candidates(
             reg.transform, c_zs, c_lohi
         )
 
+    if edge_info_mode == "hessian":
+        from ..core.noise import point_covariance_diag
+
+        def info_one(T, s_pts, d_pts, inl):
+            s_cov = point_covariance_diag(s_pts[:, 2], cam_fx, cam_fy,
+                                          sigma_depth)
+            d_cov = point_covariance_diag(d_pts[:, 2], cam_fx, cam_fy,
+                                          sigma_depth)
+            return pose_information(T, s_pts, d_pts, s_cov, d_cov, inl)
+
+        info6 = jax.vmap(info_one)(reg.transform, src, dst, reg.inliers)
+    else:
+        info6 = jnp.zeros((B, 6, 6), src.dtype)
+
     return CompareResult(
         transform=reg.transform,
         n_inliers=reg.n_inliers,
@@ -217,4 +234,5 @@ def compare_to_candidates(
         emm_quality=emm_q,
         emm_inlier_frac=emm_frac,
         emm_all=emm_all,
+        info6=info6,
     )

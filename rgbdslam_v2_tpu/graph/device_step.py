@@ -62,6 +62,7 @@ _STEP_STATICS = (
     "stride",
     "ingest_fmt",
     "gray_bits",
+    "depth_bits",
     "min_depth",
     "max_depth",
     "max_matches",
@@ -75,6 +76,7 @@ _STEP_STATICS = (
     "refine_iterations",
     "projective_iterations",
     "emm_exact",
+    "edge_info_mode",
     "observability_threshold",
     "max_translation_per_s",
     "max_rotation_deg_per_s",
@@ -101,6 +103,7 @@ def _compute_body(
     stride: int = 2,
     ingest_fmt: str = "yc12",
     gray_bits: int = 8,
+    depth_bits: int = 10,
     min_depth: float = 0.1,
     max_depth: float = 10.0,
     max_matches: int = 300,
@@ -114,6 +117,7 @@ def _compute_body(
     refine_iterations: int = 6,
     projective_iterations: int = 0,
     emm_exact: bool = False,
+    edge_info_mode: str = "scalar",
     observability_threshold: float = 0.0,
     max_translation_per_s: float = 1e10,
     max_rotation_deg_per_s: float = 1e10,
@@ -126,7 +130,7 @@ def _compute_body(
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     kp, depth_small, color_small = _prepare_and_extract(
         extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-        packed, fmt=ingest_fmt, gray_bits=gray_bits
+        packed, fmt=ingest_fmt, gray_bits=gray_bits, depth_bits=depth_bits
     )
     res = compare_to_candidates(
         kp,
@@ -150,6 +154,7 @@ def _compute_body(
         cam_cx=cam.cx,
         cam_cy=cam.cy,
         emm_exact=emm_exact,
+        edge_info_mode=edge_info_mode,
     )
 
     # ---- on-device accept/reject (nodeComparisons decision logic) ---------
@@ -182,14 +187,28 @@ def _compute_body(
         res.rmse * res.rmse, 1e-4
     )
     eye6 = jnp.eye(6, dtype=jnp.float32)
+    if edge_info_mode == "hessian":
+        # anisotropic GN pose information, trace-matched to the scalar
+        # magnitude so the protocol's chi2 prune thresholds keep their
+        # calibration (ops/registration.pose_information)
+        tr = jnp.trace(res.info6, axis1=-2, axis2=-1) / 6.0
+        vis_info = res.info6 * (
+            info_scale / jnp.maximum(tr, 1e-12)
+        )[:, None, None]
+        # degenerate/rejected candidates fall back to the scalar identity
+        ok_info = jnp.isfinite(vis_info).all(axis=(-2, -1)) & (tr > 0)
+        vis_info = jnp.where(
+            ok_info[:, None, None], vis_info,
+            info_scale[:, None, None] * eye6,
+        )
+    else:
+        vis_info = info_scale[:, None, None] * eye6
     fallback = (~any_acc) & jnp.asarray(keep_all)
     e_i = jnp.concatenate([cand_idx, pred_id[None]])
     e_j = jnp.full((B + 1,), new_id, jnp.int32)
     e_meas = jnp.concatenate([T, eye4[None]], axis=0)
     fb_info = const_pos_information / jnp.maximum(cand_dt[0], 1e-3)
-    e_info = jnp.concatenate(
-        [info_scale[:, None, None] * eye6, (fb_info * eye6)[None]], axis=0
-    )
+    e_info = jnp.concatenate([vis_info, (fb_info * eye6)[None]], axis=0)
     e_active = jnp.concatenate([accept, fallback[None]])
 
     from ..ops.emm import emm_pool_maps

@@ -81,6 +81,43 @@ def _pack12(q: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+_D10_LUT = None
+
+
+def _d10_lut():
+    """u16 depth -> 10-bit sqrt code: q = round(sqrt(16 * d16)), decode
+    d16' = q^2 / 16. Error <= sqrt(d16)/2 counts: 3.5 mm at 1 m, 6 mm at
+    3 m — still 3-15x below the 0.01 z^2 sensor noise floor, for 1.25 B
+    per sample on the wire instead of 1.5 (the link is the throughput
+    bound; see compact_frame)."""
+    global _D10_LUT
+    if _D10_LUT is None:
+        d = np.arange(65536, dtype=np.float64)
+        _D10_LUT = np.clip(np.round(np.sqrt(d * 16.0)), 0, 1023).astype(
+            np.uint16
+        )
+    return _D10_LUT
+
+
+def _pack10(q: np.ndarray) -> np.ndarray:
+    """(N,) u10-in-u16, N % 4 == 0 -> (5N/4,) u8 little-endian bit stream."""
+    a = q.reshape(-1, 4).astype(np.uint32)
+    out = np.empty((a.shape[0], 5), np.uint8)
+    out[:, 0] = a[:, 0] & 0xFF
+    out[:, 1] = (a[:, 0] >> 8) | ((a[:, 1] & 0x3F) << 2)
+    out[:, 2] = (a[:, 1] >> 6) | ((a[:, 2] & 0x0F) << 4)
+    out[:, 3] = (a[:, 2] >> 4) | ((a[:, 3] & 0x03) << 6)
+    out[:, 4] = a[:, 3] >> 2
+    return out.reshape(-1)
+
+
+def _chroma_mult(H: int, W: int, stride: int) -> int:
+    """Chroma plane stride multiplier: 4 (i.e. stride 4s, viz-only color at
+    1/16 the luma area) when the frame divides evenly, else the denser 2."""
+    cs = 4 * stride
+    return 4 if (H % cs == 0 and W % cs == 0) else 2
+
+
 def _pack6(gray8: np.ndarray) -> np.ndarray:
     """(N,) u8 gray, N % 4 == 0 -> (3N/4,) u8: 6-bit luma, 4 px per 3 B."""
     a = (gray8.reshape(-1, 4) >> 2).astype(np.uint8)
@@ -121,24 +158,27 @@ def _dither6(gray8: np.ndarray) -> np.ndarray:
 
 
 def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
-                  gray_bits: int = 6):
+                  gray_bits: int = 6, depth_bits: int = 10):
     """Host-side ingest compaction into ONE packed uint8 buffer.
 
     One buffer means ONE transfer per frame — each h2d through the tunnel
-    pays a fixed round-trip, and the tunnel link runs at ~40 MB/s, so the
-    payload size directly bounds throughput (the reference ships nothing:
-    its sensor DMA lands in host RAM, node.cpp:101-240; a TPU has to ship
-    the frame over the wire, so the wire format IS the ingest design).
+    pays a fixed round-trip, and the tunnel link runs at ~30-45 MB/s, so
+    the payload size directly bounds throughput (the reference ships
+    nothing: its sensor DMA lands in host RAM, node.cpp:101-240; a TPU has
+    to ship the frame over the wire, so the wire format IS the ingest
+    design).
 
-    fmt="yc12" (459 KB at 640x480/s2 vs 1.15 MB raw, 2.1 MB naive):
-      [Y u8 HxW | depth12 (H/s)(W/s)*1.5 | Cb u8 (H/2s)(W/2s) | Cr ...]
+    fmt="yc12" (336 KB at 640x480/s2 defaults vs 1.15 MB raw, 2.1 MB
+    naive): [Y | depth | Cb | Cr]
       - Y (gray) full-res: the feature detector's input; also the luma of
-        the reconstructed export color (one plane serves both).
-      - depth 12-bit sqrt-coded at the cloud stride s: EMM/clouds use
-        stride-s depth anyway; feature depth reads the stride-s cell
-        (quantization error mm-scale, see _d12_lut).
-      - chroma at stride 2s, upsampled on device (4:2:0-style): export
-        color is visualization-only.
+        the reconstructed export color (one plane serves both). 6-bit
+        Bayer-dithered by default (gray_bits).
+      - depth sqrt-coded at the cloud stride s (depth_bits 10 -> 1.25 B or
+        12 -> 1.5 B per sample): EMM/clouds use stride-s depth anyway;
+        feature depth reads the stride-s cell (quantization error mm-scale
+        and 3-15x below the 0.01 z^2 sensor noise, see _d10_lut/_d12_lut).
+      - chroma at stride 4s (2s for frames that don't divide), upsampled
+        on device (4:2:0-style): export color is visualization-only.
     fmt="raw": [gray u8 | depth u16 full | color u8 at stride] — lossless
     fallback (odd frame sizes, precision studies).
     """
@@ -151,7 +191,8 @@ def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
         # the one host core; None -> numpy fallback below.
         from ..io.native_loader import compact_yc12 as _native_yc12
 
-        out = _native_yc12(rgb, depth, stride, gray_bits)
+        out = _native_yc12(rgb, depth, stride, gray_bits, depth_bits,
+                           _chroma_mult(H, W, stride))
         if out is not None:
             return out
     if rgb.ndim == 3:
@@ -181,8 +222,12 @@ def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
             if gray_bits == 6
             else gray8.reshape(-1)
         )
-        d12 = _pack12(_d12_lut()[d16[::stride, ::stride]].reshape(-1))
-        cs = 2 * stride
+        dsub = d16[::stride, ::stride].reshape(-1)
+        if depth_bits == 10:
+            d12 = _pack10(_d10_lut()[dsub])
+        else:
+            d12 = _pack12(_d12_lut()[dsub])
+        cs = _chroma_mult(H, W, stride) * stride
         if rgb.ndim == 3:
             sub = rgb[::cs, ::cs].astype(np.float32)
             r, g, b = sub[..., 0], sub[..., 1], sub[..., 2]
@@ -227,18 +272,20 @@ def _unpack_compact(packed, H: int, W: int, stride: int):
     return gray8, depth16, color
 
 
-def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6):
+def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6,
+                 depth_bits: int = 10):
     """Device-side inverse of compact_frame(fmt="yc12"): packed u8 ->
     (gray u8 (H,W), depth_small f32 meters (h,w), color u8 (h,w,3)).
 
-    Depth: 12-bit sqrt codes -> d16 = q^2/256 -> meters. Color: Y from the
-    stride-s gray plane + Cb/Cr nearest-upsampled from stride 2s (BT.601
-    inverse) — all elementwise, fuses into the step program. gray_bits=6
-    unpacks the 4-px-per-3-B luma with bit-replication ((q<<2)|(q>>4))."""
+    Depth: sqrt codes -> d16 = q^2/2^(2b-16) -> meters (b = depth_bits).
+    Color: Y from the stride-s gray plane + Cb/Cr nearest-upsampled from
+    stride 2s-or-4s (BT.601 inverse) — all elementwise, fuses into the
+    step program. gray_bits=6 unpacks the 4-px-per-3-B luma with
+    bit-replication ((q<<2)|(q>>4))."""
     n_gray = H * W if gray_bits == 8 else (H * W // 4) * 3
     h, w = H // stride, W // stride
-    n_d12 = (h * w // 2) * 3
-    hc, wc = H // (2 * stride), W // (2 * stride)
+    cm = _chroma_mult(H, W, stride)
+    hc, wc = H // (cm * stride), W // (cm * stride)
     if gray_bits == 6:
         g = packed[:n_gray].reshape(-1, 3).astype(jnp.uint32)
         q = jnp.stack(
@@ -253,11 +300,24 @@ def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6):
         gray8 = ((q << 2) | (q >> 4)).astype(jnp.uint8)
     else:
         gray8 = packed[:n_gray].reshape(H, W)
-    b = packed[n_gray : n_gray + n_d12].reshape(-1, 3).astype(jnp.uint32)
-    q0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
-    q1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
-    q = jnp.stack([q0, q1], axis=-1).reshape(h, w).astype(jnp.float32)
-    depth_small = q * q * jnp.float32(1.0 / (256.0 * DEPTH_SCALE))
+    if depth_bits == 10:
+        n_d12 = (h * w // 4) * 5
+        b = packed[n_gray : n_gray + n_d12].reshape(-1, 5).astype(jnp.uint32)
+        q0 = b[:, 0] | ((b[:, 1] & 0x03) << 8)
+        q1 = (b[:, 1] >> 2) | ((b[:, 2] & 0x0F) << 6)
+        q2 = (b[:, 2] >> 4) | ((b[:, 3] & 0x3F) << 4)
+        q3 = (b[:, 3] >> 6) | (b[:, 4] << 2)
+        q = jnp.stack([q0, q1, q2, q3], axis=-1).reshape(h, w).astype(
+            jnp.float32
+        )
+        depth_small = q * q * jnp.float32(1.0 / (16.0 * DEPTH_SCALE))
+    else:
+        n_d12 = (h * w // 2) * 3
+        b = packed[n_gray : n_gray + n_d12].reshape(-1, 3).astype(jnp.uint32)
+        q0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
+        q1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+        q = jnp.stack([q0, q1], axis=-1).reshape(h, w).astype(jnp.float32)
+        depth_small = q * q * jnp.float32(1.0 / (256.0 * DEPTH_SCALE))
     off = n_gray + n_d12
     cb = packed[off : off + hc * wc].reshape(hc, wc).astype(jnp.float32)
     cr = packed[off + hc * wc : off + 2 * hc * wc].reshape(hc, wc).astype(
@@ -270,8 +330,8 @@ def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6):
     y = jnp.mean(
         gray8.reshape(h, stride, w, stride).astype(jnp.float32), axis=(1, 3)
     )
-    cb2 = jnp.repeat(jnp.repeat(cb, 2, 0), 2, 1)[:h, :w] - 128.0
-    cr2 = jnp.repeat(jnp.repeat(cr, 2, 0), 2, 1)[:h, :w] - 128.0
+    cb2 = jnp.repeat(jnp.repeat(cb, cm, 0), cm, 1)[:h, :w] - 128.0
+    cr2 = jnp.repeat(jnp.repeat(cr, cm, 0), cm, 1)[:h, :w] - 128.0
     r = y + 1.402 * cr2
     g = y - 0.344136 * cb2 - 0.714136 * cr2
     bch = y + 1.772 * cb2
@@ -284,11 +344,12 @@ def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6):
 @functools.partial(
     jax.jit,
     static_argnames=("extractor", "cam", "stride", "min_depth", "max_depth",
-                     "use_feature_min_depth", "fmt", "gray_bits"),
+                     "use_feature_min_depth", "fmt", "gray_bits",
+                     "depth_bits"),
 )
 def _prepare_and_extract(
     extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-    packed, fmt: str = "yc12", gray_bits: int = 6
+    packed, fmt: str = "yc12", gray_bits: int = 6, depth_bits: int = 10
 ):
     """Fused per-frame device prep on the PACKED compact ingest buffer:
     unpack (slice/bitcast), u8 gray -> f32, depth decode -> meters + masking,
@@ -298,7 +359,7 @@ def _prepare_and_extract(
     H, W = cam.height, cam.width
     if fmt == "yc12":
         gray8, depth_m, color_small = _unpack_yc12(
-            packed, H, W, stride, gray_bits
+            packed, H, W, stride, gray_bits, depth_bits
         )
         valid_s = (depth_m > min_depth) & (depth_m < max_depth)
         depth_small = jnp.where(valid_s, depth_m, 0.0)
@@ -522,6 +583,7 @@ class GraphManager:
         s = self.emm_stride
         self.ingest_fmt = p["tpu_ingest_format"]
         self.gray_bits = p["tpu_gray_bits"]
+        self.depth_bits = p["tpu_depth_bits"]
         if self.ingest_fmt == "yc12" and (
             cam.height % (2 * s) or cam.width % (2 * s)
         ):
@@ -885,7 +947,8 @@ class GraphManager:
         if compact is None:
             compact = compact_frame(rgb, depth, self.emm_stride,
                                     fmt=self.ingest_fmt,
-                                    gray_bits=self.gray_bits)
+                                    gray_bits=self.gray_bits,
+                                    depth_bits=self.depth_bits)
 
         new_id0 = self.n_nodes
         # ---- fast path: whole step decided and committed on device --------
@@ -912,6 +975,7 @@ class GraphManager:
             jnp.asarray(compact),
             fmt=self.ingest_fmt,
             gray_bits=self.gray_bits,
+            depth_bits=self.depth_bits,
         )
 
         eye4 = np.eye(4, dtype=np.float32)
@@ -1092,6 +1156,12 @@ class GraphManager:
             for b in accepted:
                 cid = padded[b]
                 info_scale = float(n_inl[b]) / max(float(rmse[b]) ** 2, 1e-4)
+                info = np.eye(6, dtype=np.float32) * info_scale
+                if p["tpu_edge_info"] == "hessian":
+                    h6 = np.asarray(host.info6[b], np.float32)
+                    tr = float(np.trace(h6)) / 6.0
+                    if np.isfinite(h6).all() and tr > 0:
+                        info = h6 * (info_scale / tr)
                 etype = (
                     EDGE_SEQUENTIAL
                     if (cid == pred_id or cid in geodesic)
@@ -1099,7 +1169,7 @@ class GraphManager:
                 )
                 edges.append(
                     (cid, new_id, np.asarray(T_all[b], np.float32),
-                     np.eye(6, dtype=np.float32) * info_scale, etype)
+                     info, etype)
                 )
         if icp_results:
             geodesic = self._geodesic_set(pred_id, p["geodesic_depth"])
@@ -1181,6 +1251,7 @@ class GraphManager:
             stride=self.emm_stride,
             ingest_fmt=self.ingest_fmt,
             gray_bits=self.gray_bits,
+            depth_bits=self.depth_bits,
             min_depth=p["minimum_depth"],
             max_depth=p["maximum_depth"],
             max_matches=p["max_matches"],
@@ -1194,6 +1265,7 @@ class GraphManager:
             refine_iterations=p["refine_iterations"],
             projective_iterations=p["g2o_transformation_refinement"],
             emm_exact=p["tpu_emm_exact"],
+            edge_info_mode=p["tpu_edge_info"],
             observability_threshold=p["observability_threshold"],
             max_translation_per_s=p["max_translation_meter"],
             max_rotation_deg_per_s=p["max_rotation_degree"],
@@ -1482,6 +1554,7 @@ class GraphManager:
             cam_cx=self.cam.cx,
             cam_cy=self.cam.cy,
             emm_exact=p["tpu_emm_exact"],
+            edge_info_mode=p["tpu_edge_info"],
         )
 
     def _compare_dispatch(self, kp, depth_small, cand_idx, key) -> CompareResult:

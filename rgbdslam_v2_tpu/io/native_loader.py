@@ -67,7 +67,7 @@ def _ensure_built():
         lib.compact_yc12.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ]
         _lib = lib
     except Exception as e:  # toolchain/libpng missing — callers fall back
@@ -161,7 +161,8 @@ def decode_depth(path, width=640, height=480) -> np.ndarray:
     return out.astype(np.float32) / 5000.0
 
 
-def compact_yc12(rgb, depth, stride: int, gray_bits: int):
+def compact_yc12(rgb, depth, stride: int, gray_bits: int,
+                 depth_bits: int = 10, chroma_mult: int = 4):
     """Single-pass C yc12 wire encoder (native/compact_ingest.cpp).
 
     Bit-exact twin of the numpy yc12 path in graph.manager.compact_frame
@@ -201,6 +202,7 @@ def compact_yc12(rgb, depth, stride: int, gray_bits: int):
     out = np.empty(H * W * 4, np.uint8)
     n = lib.compact_yc12(
         rgb_p, gray_p, d16_p, df_p, H, W, int(stride), int(gray_bits),
+        int(depth_bits), int(chroma_mult),
         out.ctypes.data_as(ctypes.c_void_p),
     )
     if n <= 0:

@@ -85,6 +85,81 @@ def _gumbel_topk_sample(key, logits: jnp.ndarray, n_hyp: int, k: int):
     return idx  # (n_hyp, k)
 
 
+def pose_information(
+    T: jnp.ndarray,
+    src_xyz: jnp.ndarray,
+    dst_xyz: jnp.ndarray,
+    src_cov: jnp.ndarray,
+    dst_cov: jnp.ndarray,
+    inliers: jnp.ndarray,
+) -> jnp.ndarray:
+    """Gauss-Newton 6x6 information of the pairwise pose estimate.
+
+    For the point-to-point problem r_i = T s_i - d_i with per-point
+    covariance Sigma_i = D_dst + R D_src R^T (errorFunction2's model), the
+    GN Hessian at the optimum is H = sum_i J_i^T Sigma_i^{-1} J_i with
+    J_i = [I3 | -[T s_i]_x] (left perturbation xi = (t, omega)). Unlike
+    the reference's isotropic inliers/rmse^2 identity (graph_manager.cpp
+    edge information), H captures which pose directions the match geometry
+    actually constrains — e.g. a frontal far wall constrains rotation well
+    but z-translation poorly. Returned un-normalized; the caller scales it
+    (device_step trace-matches it to the scalar info so the protocol's
+    chi2 prune thresholds keep their calibration).
+    """
+    R = T[:3, :3]
+    p = se3.apply(T, src_xyz)  # (M, 3)
+    Rb = R[None]
+    RD = Rb * src_cov[:, None, :]
+    Sigma = RD @ jnp.swapaxes(Rb, -1, -2) + (
+        dst_cov[..., None] * jnp.eye(3, dtype=src_xyz.dtype)
+    )  # (M, 3, 3)
+    # Sigma^{-1} via adjugate (symmetric 3x3, branch-free)
+    a, b, c = Sigma[:, 0, 0], Sigma[:, 0, 1], Sigma[:, 0, 2]
+    e, f = Sigma[:, 1, 1], Sigma[:, 1, 2]
+    i = Sigma[:, 2, 2]
+    A = e * i - f * f
+    B = c * f - b * i
+    C = b * f - c * e
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    E = a * i - c * c
+    F = b * c - a * f
+    I3 = a * e - b * b
+    Sinv = (
+        jnp.stack(
+            [
+                jnp.stack([A, B, C], -1),
+                jnp.stack([B, E, F], -1),
+                jnp.stack([C, F, I3], -1),
+            ],
+            -2,
+        )
+        / det[:, None, None]
+    )  # (M, 3, 3)
+    w = inliers.astype(src_xyz.dtype)
+    Sinv = Sinv * w[:, None, None]
+    # J = [I | -P], P = skew(p); blocks of J^T Sinv J:
+    #   tt = Sinv, tr = -Sinv P, rr = P^T Sinv P  (P^T = -P)
+    zeros = jnp.zeros_like(p[:, 0])
+    P = jnp.stack(
+        [
+            jnp.stack([zeros, -p[:, 2], p[:, 1]], -1),
+            jnp.stack([p[:, 2], zeros, -p[:, 0]], -1),
+            jnp.stack([-p[:, 1], p[:, 0], zeros], -1),
+        ],
+        -2,
+    )  # (M, 3, 3)
+    SP = Sinv @ P
+    tt = jnp.sum(Sinv, axis=0)
+    tr = -jnp.sum(SP, axis=0)
+    rr = jnp.sum(jnp.swapaxes(P, -1, -2) @ SP, axis=0)
+    top = jnp.concatenate([tt, tr], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(tr, -1, -2), rr], axis=-1)
+    H = jnp.concatenate([top, bot], axis=-2)  # (6, 6)
+    # exact symmetry (guards tiny fp asymmetry before Cholesky/LM use)
+    return 0.5 * (H + jnp.swapaxes(H, -1, -2))
+
+
 def ransac_register(
     key: jnp.ndarray,
     src_xyz: jnp.ndarray,

@@ -104,6 +104,7 @@ def _first_body(
     stride: int = 2,
     ingest_fmt: str = "yc12",
     gray_bits: int = 8,
+    depth_bits: int = 10,
     min_depth: float = 0.1,
     max_depth: float = 10.0,
     use_feature_min_depth: bool = False,
@@ -114,7 +115,7 @@ def _first_body(
 
     kp, depth_small, color_small = _prepare_and_extract(
         extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-        packed, fmt=ingest_fmt, gray_bits=gray_bits,
+        packed, fmt=ingest_fmt, gray_bits=gray_bits, depth_bits=depth_bits,
     )
     store = store.insert(0, kp, depth_small, color_small)
     graph = graph._replace(
@@ -177,6 +178,7 @@ class MultiSequenceSlam:
         self.emm_stride = s = p["cloud_creation_skip_step"]
         self.ingest_fmt = p["tpu_ingest_format"]
         self.gray_bits = p["tpu_gray_bits"]
+        self.depth_bits = p["tpu_depth_bits"]
         self.cam_small = Intrinsics(
             fx=cam.fx / s, fy=cam.fy / s, cx=cam.cx / s, cy=cam.cy / s,
             width=cam.width // s, height=cam.height // s,
@@ -238,6 +240,7 @@ class MultiSequenceSlam:
             _first_body, extractor=self._cfg["extractor"], cam=self._cfg["cam"],
             stride=self._cfg["stride"], ingest_fmt=self._cfg["ingest_fmt"],
             gray_bits=self._cfg["gray_bits"],
+            depth_bits=self._cfg["depth_bits"],
             min_depth=self._cfg["min_depth"], max_depth=self._cfg["max_depth"],
             use_feature_min_depth=self._cfg["use_feature_min_depth"],
         )
@@ -285,7 +288,8 @@ class MultiSequenceSlam:
     # ------------------------------------------------------------------
     def compact(self, rgb, depth) -> np.ndarray:
         return compact_frame(rgb, depth, self.emm_stride,
-                             fmt=self.ingest_fmt, gray_bits=self.gray_bits)
+                             fmt=self.ingest_fmt, gray_bits=self.gray_bits,
+                             depth_bits=self.depth_bits)
 
     def add_frames(self, compacts, timestamps, gt_poses=None) -> None:
         """One lockstep frame for all S sequences.

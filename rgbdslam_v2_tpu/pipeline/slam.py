@@ -133,19 +133,21 @@ class SlamPipeline:
         stride = self.manager.emm_stride
         fmt = self.manager.ingest_fmt
         gb = self.manager.gray_bits
+        db = self.manager.depth_bits
 
         pair = p["tpu_frames_per_step"] >= 2
         k = 0
         while k < len(idxs):
             i = idxs[k]
-            # compact+pack on host (1.15 MB, ONE buffer); the packed array
+            # compact+pack on host (0.34 MB yc12, ONE buffer); the packed array
             # goes to slam_step as a plain numpy argument — the jit call
             # performs the single h2d itself. Measured against explicit
             # device_put prefetching and 4-frame chunked transfers on the
             # tunnel: the direct argument is the fastest and the least
             # variable (the tunnel serializes transfer and compute anyway,
             # so prefetch buys nothing and extra dispatches cost latency).
-            cpt = compact_frame(rgbs[i], depths[i], stride, fmt=fmt, gray_bits=gb)
+            cpt = compact_frame(rgbs[i], depths[i], stride, fmt=fmt, gray_bits=gb,
+                                depth_bits=db)
             if (
                 pair
                 and not self.paused
@@ -154,7 +156,8 @@ class SlamPipeline:
             ):
                 # two frames fused into ONE device dispatch (slam_step2)
                 j = idxs[k + 1]
-                cpt2 = compact_frame(rgbs[j], depths[j], stride, fmt=fmt, gray_bits=gb)
+                cpt2 = compact_frame(rgbs[j], depths[j], stride, fmt=fmt, gray_bits=gb,
+                                depth_bits=db)
                 t0 = time.perf_counter()
                 self.manager.add_frame_pair(
                     cpt, float(stamps[i]), cpt2, float(stamps[j])
@@ -197,13 +200,15 @@ class SlamPipeline:
         stride = self.manager.emm_stride
         fmt = self.manager.ingest_fmt
         gb = self.manager.gray_bits
+        db = self.manager.depth_bits
 
         def gen():
             count = 0
             for k, (ts, rgb, depth) in enumerate(frames):
                 if k < skip0 or (k - skip0) % step:
                     continue
-                yield ts, compact_frame(rgb, depth, stride, fmt=fmt, gray_bits=gb)
+                yield ts, compact_frame(rgb, depth, stride, fmt=fmt, gray_bits=gb,
+                                depth_bits=db)
                 count += 1
                 if max_frames and count >= max_frames:
                     return
@@ -304,10 +309,12 @@ class SlamPipeline:
         stride = self.manager.emm_stride
         fmt = self.manager.ingest_fmt
         gb = self.manager.gray_bits
+        db = self.manager.depth_bits
 
         def put(i):
             ts, rgb, depth = dataset.load(i)
-            return ts, compact_frame(rgb, depth, stride, fmt=fmt, gray_bits=gb)
+            return ts, compact_frame(rgb, depth, stride, fmt=fmt, gray_bits=gb,
+                                depth_bits=db)
 
         nxt = put(idxs[0])
         for k, i in enumerate(idxs):

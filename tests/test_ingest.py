@@ -1,11 +1,13 @@
 """Wire-format tests for the packed per-frame ingest (compact_frame).
 
-The yc12 format trades exactness for 2.5x fewer bytes on the tunnel link
-(the throughput bound): 12-bit sqrt-coded stride-s depth + 4:2:0 chroma.
+The yc12 format trades exactness for 3.4x fewer bytes on the tunnel link
+(the throughput bound): 10/12-bit sqrt-coded stride-s depth + 4:2:0 chroma
+at stride 4s + optional 6-bit dithered luma.
 These tests pin the decode error budget and raw/yc12 behavioral parity.
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rgbdslam_v2_tpu.core.camera import Intrinsics
 from rgbdslam_v2_tpu.graph.manager import (
@@ -49,26 +51,35 @@ def test_pack12_unpack_device_exact():
     np.testing.assert_array_equal(out, q)
 
 
-def test_yc12_unpack_depth_and_color():
+@pytest.mark.parametrize("depth_bits", [10, 12])
+def test_yc12_unpack_depth_and_color(depth_bits):
     cam = _cam()
     rng = np.random.default_rng(1)
     rgb = rng.integers(0, 255, (cam.height, cam.width, 3), np.uint8)
     depth = rng.uniform(0.5, 6.0, (cam.height, cam.width)).astype(np.float32)
-    packed = compact_frame(rgb, depth, 2, fmt="yc12", gray_bits=8)
+    packed = compact_frame(rgb, depth, 2, fmt="yc12", gray_bits=8,
+                           depth_bits=depth_bits)
     gray8, depth_small, color = _unpack_yc12(
-        jnp.asarray(packed), cam.height, cam.width, 2, gray_bits=8
+        jnp.asarray(packed), cam.height, cam.width, 2, gray_bits=8,
+        depth_bits=depth_bits,
     )
-    # depth: matches the stride-2 subsample within the 12-bit budget
+    # depth: matches the stride-2 subsample within the quantizer budget:
+    # |err| <= sqrt(d16)/16 counts at 12 bit, sqrt(d16)/4 at 10 bit
     ref = np.round(depth[::2, ::2] * DEPTH_SCALE) / DEPTH_SCALE
     err = np.abs(np.asarray(depth_small) - ref)
     z = ref
-    assert (err <= (np.sqrt(z * DEPTH_SCALE) / 16.0 + 1.0) / DEPTH_SCALE).all()
+    divisor = 16.0 if depth_bits == 12 else 4.0
+    assert (
+        err <= (np.sqrt(z * DEPTH_SCALE) / divisor + 1.0) / DEPTH_SCALE
+    ).all()
     # color: reconstruction within chroma-subsampling error on smooth areas;
     # a constant-color frame reconstructs near-exactly
     flat = np.full((cam.height, cam.width, 3), (200, 64, 120), np.uint8)
-    packed2 = compact_frame(flat, depth, 2, fmt="yc12", gray_bits=8)
+    packed2 = compact_frame(flat, depth, 2, fmt="yc12", gray_bits=8,
+                            depth_bits=depth_bits)
     _, _, color2 = _unpack_yc12(
-        jnp.asarray(packed2), cam.height, cam.width, 2, gray_bits=8
+        jnp.asarray(packed2), cam.height, cam.width, 2, gray_bits=8,
+        depth_bits=depth_bits,
     )
     assert np.abs(np.asarray(color2).astype(int) - flat[::2, ::2]).max() <= 3
 

@@ -21,17 +21,19 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _numpy_pack(monkeypatch, rgb, depth, stride, gray_bits):
+def _numpy_pack(monkeypatch, rgb, depth, stride, gray_bits, depth_bits=10):
     """compact_frame forced onto the pure-numpy path (no native, no cv2)."""
     monkeypatch.setattr(native_loader, "compact_yc12", lambda *a: None)
     monkeypatch.setitem(sys.modules, "cv2", None)  # import cv2 -> ImportError
     return mgr.compact_frame(rgb, depth, stride, fmt="yc12",
-                             gray_bits=gray_bits)
+                             gray_bits=gray_bits, depth_bits=depth_bits)
 
 
 @pytest.mark.parametrize("gray_bits", [6, 8])
+@pytest.mark.parametrize("depth_bits", [10, 12])
 @pytest.mark.parametrize("depth_kind", ["u16", "f32"])
-def test_native_matches_numpy_bytes(monkeypatch, gray_bits, depth_kind):
+def test_native_matches_numpy_bytes(monkeypatch, gray_bits, depth_bits,
+                                    depth_kind):
     rng = np.random.default_rng(7)
     H, W = 120, 160
     rgb = rng.integers(0, 256, (H, W, 3), np.uint8)
@@ -40,9 +42,11 @@ def test_native_matches_numpy_bytes(monkeypatch, gray_bits, depth_kind):
     else:
         depth = rng.uniform(0.0, 8.0, (H, W)).astype(np.float32)
         depth[0, :6] = [np.nan, np.inf, -np.inf, -1.0, 0.0, 20.0]
-    native = native_loader.compact_yc12(rgb, depth, 2, gray_bits)
+    native = native_loader.compact_yc12(rgb, depth, 2, gray_bits, depth_bits,
+                                        4)
     assert native is not None
-    ref = _numpy_pack(monkeypatch, rgb, depth, 2, gray_bits)
+    ref = _numpy_pack(monkeypatch, rgb, depth, 2, gray_bits,
+                      depth_bits=depth_bits)
     assert native.shape == ref.shape
     assert np.array_equal(native, ref)
 

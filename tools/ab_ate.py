@@ -41,6 +41,11 @@ VARIANTS = {
                       adjuster_max_iterations=0),
     "raw-8-na": dict(tpu_ingest_format="raw", tpu_gray_bits=8,
                      adjuster_max_iterations=0),
+    # round-3 wire defaults (gray6 + depth10 + chroma 4s) and studies
+    "default": dict(),
+    "d12": dict(tpu_depth_bits=12),
+    "proj2": dict(g2o_transformation_refinement=2),
+    "proj4": dict(g2o_transformation_refinement=4),
 }
 
 names = sys.argv[1:] or list(VARIANTS)
