@@ -156,7 +156,9 @@ PARAM_DEFS = [
        "[tpu] visual edge information matrix: scalar (inliers/rmse^2 * I6, "
        "the reference's isotropic weight) | hessian (anisotropic GN pose "
        "information from the match geometry, trace-matched to the scalar "
-       "magnitude; ops/registration.pose_information)"),
+       "magnitude; ops/registration.pose_information). End-to-end A/B "
+       "(tools/ab_ate.py hess): hessian degrades protocol ATE ~1.8x on the "
+       "bench sequence — scalar stays the default"),
     _p("tpu_emm_exact", False,
        "[tpu] use the reference's verbatim 9-sample EMM neighborhood search "
        "instead of the pooled [min,max] fast path (precision studies; "

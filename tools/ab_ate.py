@@ -46,6 +46,9 @@ VARIANTS = {
     "d12": dict(tpu_depth_bits=12),
     "proj2": dict(g2o_transformation_refinement=2),
     "proj4": dict(g2o_transformation_refinement=4),
+    "hess": dict(tpu_edge_info="hessian"),
+    "proj2-hess": dict(g2o_transformation_refinement=2,
+                       tpu_edge_info="hessian"),
 }
 
 names = sys.argv[1:] or list(VARIANTS)
