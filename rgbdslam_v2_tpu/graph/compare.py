@@ -141,9 +141,12 @@ def compare_to_candidates(
     # ---- bidirectional EMM at the storage stride ---------------------------
     # All reduce_window pooling is hoisted out of the per-candidate vmap: the
     # candidates' [lo, hi] maps were precomputed at commit time
-    # (store.emm_lohi), the new frame's are computed ONCE here.
+    # (store.emm_lohi), the new frame's are computed ONCE here. Direction a
+    # indexes store.emm_lohi DIRECTLY (row id + flat pixel, one combined
+    # gather) — row-gathering the planes first makes XLA fuse the row gather
+    # into the point gather as a full-buffer kLoop over the whole store
+    # (~0.65 ms/frame at B=8; tools/gather_probe.py).
     new_lohi = emm_pool_maps(new_depth_small)
-    c_lohi = store.emm_lohi[cand_idx].reshape(B, h, w)  # packed f16 pairs
 
     def _combine(a, b):
         n_in = a.inliers + b.inliers
@@ -194,12 +197,13 @@ def compare_to_candidates(
         new_points_s = strided_points(n_zs)
         new_valid_s = n_zs > 0
 
-        def emm_one(T, czs, clohi):
+        def emm_one(T, czs, row):
             # direction 1: new points into candidate camera (old_T_new = T);
-            # czs is traced but unused here (old_lohi supplies the samples)
+            # czs is traced but unused here (the store's lohi row supplies
+            # the samples via the combined gather)
             a = observation_likelihood(
                 T, new_points_s, new_valid_s, czs, cam_small, 1,
-                sigma_depth, old_lohi=clohi,
+                sigma_depth, old_lohi=store.emm_lohi, old_lohi_row=row,
             )
             b = observation_likelihood(
                 se3.inv(T), strided_points(czs), czs > 0, new_depth_small,
@@ -207,9 +211,9 @@ def compare_to_candidates(
             )
             return _combine(a, b)
 
-        emm_q, emm_frac, emm_all = jax.vmap(emm_one)(
-            reg.transform, c_zs, c_lohi
-        )
+        emm_q, emm_frac, emm_all = jax.vmap(
+            emm_one, in_axes=(0, 0, 0)
+        )(reg.transform, c_zs, cand_idx)
 
     if edge_info_mode == "hessian":
         from ..core.noise import point_covariance_diag

@@ -76,6 +76,7 @@ def observation_likelihood(
     sigma_depth: float = 0.01,
     gate_sigmas: float = 2.5,
     old_lohi: jnp.ndarray | None = None,  # optional precomputed emm_pool_maps
+    old_lohi_row: jnp.ndarray | None = None,  # with (N, h*w) old_lohi: row id
 ) -> EmmResult:
     """Project new-frame points into the old camera, classify depth agreement.
 
@@ -86,6 +87,13 @@ def observation_likelihood(
       occluded z_obs < z_p - gate * sigma   (something closer blocks the view)
       outlier  z_obs > z_p + gate * sigma   (we predicted matter the old
                                              camera saw through — contradiction)
+
+    old_lohi_row: when the pool maps live in a store-shaped (N, h*w) buffer,
+    pass the buffer as old_lohi and the node id here — the lookup becomes
+    ONE combined 2-D gather straight from the store. Gathering the row
+    first (old_lohi=store[row]) makes XLA fuse the row gather into the
+    point gather as a full-buffer kLoop (~0.65 ms/frame more at B=8;
+    tools/gather_probe.py F vs H).
     """
     pts = new_points[::skip_step, ::skip_step].reshape(-1, 3)
     val = new_valid[::skip_step, ::skip_step].reshape(-1)
@@ -110,9 +118,13 @@ def observation_likelihood(
     # their [min, max] range. Two dense reduce_windows + 1 paired gather
     # replace 9 random gathers per point (gathers dominated the kernel on
     # TPU); with old_lohi precomputed the reduce_windows vanish too.
-    if old_lohi is None:
-        old_lohi = emm_pool_maps(old_depth)
-    lo, hi = emm_unpack(old_lohi[vi, ui])  # ONE gather per point
+    if old_lohi_row is not None:
+        packed = old_lohi[old_lohi_row, vi * cam.width + ui]
+    else:
+        if old_lohi is None:
+            old_lohi = emm_pool_maps(old_depth)
+        packed = old_lohi[vi, ui]
+    lo, hi = emm_unpack(packed)  # ONE gather per point
     has_obs = jnp.isfinite(lo)
     best_obs = jnp.clip(z_pred, lo, hi)
     best_obs = jnp.where(has_obs, best_obs, 0.0)

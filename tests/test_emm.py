@@ -187,3 +187,29 @@ def test_rejection_significance_orders_transforms():
     assert 0.0 <= p_true <= 1.0
     assert p_bad > 0.999  # overwhelming evidence against
     assert p_bad > p_true
+
+
+def test_store_row_lookup_equals_plane_lookup():
+    """The combined store-row gather (old_lohi + old_lohi_row, the compare
+    fast path) must classify identically to indexing the row's own (h, w)
+    plane — same packed values, different gather formulation."""
+    import jax.numpy as jnp
+
+    from rgbdslam_v2_tpu.ops.emm import emm_pool_maps
+
+    fa, fb, a_T_b = _two_frames()
+    lohi = emm_pool_maps(fa.depth)
+    n_rows = 4
+    row = 2
+    buf = jnp.zeros((n_rows, lohi.size), lohi.dtype).at[row].set(
+        lohi.reshape(-1)
+    )
+    direct = observation_likelihood(
+        a_T_b, fb.points, fb.valid, fa.depth, CAM, old_lohi=lohi
+    )
+    via_store = observation_likelihood(
+        a_T_b, fb.points, fb.valid, fa.depth, CAM,
+        old_lohi=buf, old_lohi_row=jnp.int32(row),
+    )
+    for f in ("inliers", "outliers", "occluded", "all_projected"):
+        assert int(getattr(direct, f)) == int(getattr(via_store, f))
