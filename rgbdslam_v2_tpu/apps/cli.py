@@ -327,19 +327,17 @@ def cmd_slam_multi(args):
     return 0
 
 
-def cmd_view(args):
-    """Offline 3D views of a saved result (the GL-viewer capability,
-    reference src/glviewer.cpp, rendered headless — io/render3d.py)."""
+def _load_result_dir(root: Path):
+    """Load a result dir's cloud + trajectory + graph edges for viewing.
+
+    Returns (points, colors, traj(T,4,4)|None, edges|None); raises
+    FileNotFoundError when cloud.pcd is absent."""
     from ..io.pointcloud import read_pcd
-    from ..io.render3d import render_orbit_views
     from ..io.tum import read_trajectory_file
 
-    root = Path(args.result_dir)
     cloud = root / "cloud.pcd"
     if not cloud.exists():
-        print(f"rgbdslam: error: {cloud} not found (run with --save-clouds)",
-              file=sys.stderr)
-        return 2
+        raise FileNotFoundError(f"{cloud} not found (run with --save-clouds)")
     points, colors = read_pcd(cloud)
     traj = edges = None
     for name in ("estimate_iteration_4.txt", "estimate.txt"):
@@ -366,11 +364,102 @@ def cmd_view(args):
 
         _poses, _fixed, g2o_edges = read_g2o(root / "graph.g2o")
         edges = [(int(i), int(j)) for (i, j, _m, _inf) in g2o_edges]
-    w, h = (int(x) for x in args.size.split("x"))
-    out = Path(args.out) if args.out else root / "views"
-    paths = render_orbit_views(points, colors, out, traj=traj, edges=edges,
-                               n_views=args.views, size=(w, h))
-    print(json.dumps({"views": paths}))
+    return points, colors, traj, edges
+
+
+def cmd_view(args):
+    """Offline 3D views of a saved result (the GL-viewer capability,
+    reference src/glviewer.cpp, rendered headless — io/render3d.py), plus
+    the interactive WebGL export (io/viewer_html.py) with --html."""
+    from ..io.render3d import render_orbit_views
+
+    root = Path(args.result_dir)
+    try:
+        points, colors, traj, edges = _load_result_dir(root)
+    except FileNotFoundError as exc:
+        print(f"rgbdslam: error: {exc}", file=sys.stderr)
+        return 2
+    out_json = {}
+    if args.html is not None:
+        from ..io.viewer_html import write_viewer_html
+
+        html_path = args.html or str(root / "viewer.html")
+        out_json["html"] = write_viewer_html(
+            html_path, points, colors, traj=traj, edges=edges,
+            title=root.name or "rgbdslam map")
+    if args.views > 0:
+        w, h = (int(x) for x in args.size.split("x"))
+        out = Path(args.out) if args.out else root / "views"
+        out_json["views"] = render_orbit_views(
+            points, colors, out, traj=traj, edges=edges,
+            n_views=args.views, size=(w, h))
+    print(json.dumps(out_json))
+    return 0
+
+
+def cmd_serve(args):
+    """Serve the interactive viewer over HTTP with live reload — the
+    closest headless equivalent of the reference's always-open GL window
+    during a run (glviewer.cpp): a SLAM process periodically saving
+    results makes the browser refresh within ~2 s."""
+    import http.server
+    import socketserver
+
+    root = Path(args.result_dir)
+
+    def generation() -> int:
+        gen = 0
+        for name in ("cloud.pcd", "estimate.txt", "estimate_iteration_4.txt",
+                     "graph.g2o"):
+            p = root / name
+            if p.exists():
+                gen = max(gen, int(p.stat().st_mtime))
+        return gen
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path.rstrip("/") in ("", "/viewer.html"):
+                from ..io.viewer_html import build_viewer_html
+
+                try:
+                    points, colors, traj, edges = _load_result_dir(root)
+                except FileNotFoundError as exc:
+                    body = (f"<html><body><h3>waiting for results…</h3>"
+                            f"<p>{exc}</p><script>setTimeout("
+                            "()=>location.reload(),2000)</script>"
+                            "</body></html>").encode()
+                    self.send_response(200)
+                else:
+                    body = build_viewer_html(
+                        points, colors, traj=traj, edges=edges,
+                        title=root.name or "rgbdslam map", live=True,
+                        generation=generation()).encode()
+                    self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.endswith("/gen"):
+                body = str(generation()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+    with socketserver.TCPServer(("", args.port), Handler) as httpd:
+        print(json.dumps({"serving": str(root),
+                          "url": f"http://localhost:{args.port}/"}),
+              flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
     return 0
 
 
@@ -473,9 +562,24 @@ def main(argv=None):
                        help="directory with cloud.pcd / estimate*.txt / graph.g2o")
     viewp.add_argument("--out", default=None,
                        help="output dir (default: <result_dir>/views)")
-    viewp.add_argument("--views", type=int, default=6)
+    viewp.add_argument("--views", type=int, default=6,
+                       help="number of PNG orbit views (0: skip PNGs)")
     viewp.add_argument("--size", default="960x720")
+    viewp.add_argument("--html", nargs="?", const="", default=None,
+                       metavar="PATH",
+                       help="also write the interactive WebGL viewer "
+                            "(default: <result_dir>/viewer.html)")
     viewp.set_defaults(fn=cmd_view)
+
+    servep = sub.add_parser(
+        "serve",
+        help="serve the interactive 3D viewer with live reload "
+             "(the GL-window-during-a-run capability, in a browser)",
+    )
+    servep.add_argument("result_dir",
+                        help="result dir to watch (cloud.pcd + estimate*.txt)")
+    servep.add_argument("--port", type=int, default=8765)
+    servep.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     try:

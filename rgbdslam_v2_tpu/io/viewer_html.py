@@ -1,0 +1,339 @@
+"""Interactive 3D viewer: the GL-viewer capability, in the browser.
+
+Capability parity: the reference's interactive OpenGL widget — rotate /
+pan / zoom the registered cloud, trajectory polyline, graph edges, pose
+axes, point-size control, background toggle (reference:
+src/glviewer.cpp:121-200 input handling, :400-736 draw paths). A TPU host
+is headless, so instead of a Qt/GL window the equivalent interactive
+surface is a SINGLE self-contained HTML file: positions/colors embedded
+as base64 typed arrays and rendered with hand-written WebGL (no external
+JS dependencies, works file:// offline). `rgbdslam view --html` writes
+it next to the PNG orbit renders; `rgbdslam serve` live-reloads it while
+a SLAM run is in progress.
+
+Interactions (mirroring glviewer's mouse handling):
+  drag          orbit the map centroid
+  right-drag /  pan the orbit target
+  shift-drag
+  wheel         dolly in/out
+  keys 1/2/3    point size, t/e/a toggles for trajectory/edges/axes
+  dblclick      reset view (glviewer.cpp:186 double-click home)
+"""
+from __future__ import annotations
+
+import base64
+import json
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>
+ html,body{{margin:0;height:100%;overflow:hidden;background:#101014;
+  font:12px system-ui,sans-serif;color:#cfcfd6}}
+ #c{{width:100%;height:100%;display:block;cursor:grab}}
+ #hud{{position:fixed;top:8px;left:8px;background:rgba(16,16,20,.82);
+  padding:8px 10px;border-radius:6px;line-height:1.7;user-select:none}}
+ #hud label{{display:block;cursor:pointer}}
+ #stats{{position:fixed;bottom:8px;left:8px;opacity:.7}}
+ input[type=range]{{vertical-align:middle;width:90px}}
+</style></head><body>
+<canvas id="c"></canvas>
+<div id="hud">
+ <b>{title}</b><br>
+ <label>point size <input id="psize" type="range" min="1" max="8"
+  step="0.5" value="2"></label>
+ <label><input id="tTraj" type="checkbox" checked> trajectory (t)</label>
+ <label><input id="tEdges" type="checkbox" checked> graph edges (e)</label>
+ <label><input id="tAxes" type="checkbox" checked> pose axes (a)</label>
+ <span style="opacity:.6">drag orbit · right-drag pan · wheel zoom ·
+ dblclick reset</span>
+</div>
+<div id="stats"></div>
+<script>
+"use strict";
+const B64 = s => {{
+  const bin = atob(s); const u = new Uint8Array(bin.length);
+  for (let i = 0; i < bin.length; i++) u[i] = bin.charCodeAt(i);
+  return u;
+}};
+const DATA = {data_json};
+const pos = new Float32Array(B64(DATA.pos).buffer);
+const col = B64(DATA.col);
+const NPTS = pos.length / 3;
+const lines = new Float32Array(B64(DATA.lines).buffer);   // xyzrgb per vert
+const NLINE = lines.length / 6;
+
+const canvas = document.getElementById("c");
+const gl = canvas.getContext("webgl", {{antialias: true}});
+const VS = `attribute vec3 p; attribute vec3 c; uniform mat4 mvp;
+ uniform float ps; varying vec3 vc;
+ void main(){{ gl_Position = mvp * vec4(p,1.0); gl_PointSize = ps; vc = c; }}`;
+const FS = `precision mediump float; varying vec3 vc;
+ void main(){{ gl_FragColor = vec4(vc, 1.0); }}`;
+function shader(type, src) {{
+  const s = gl.createShader(type); gl.shaderSource(s, src); gl.compileShader(s);
+  if (!gl.getShaderParameter(s, gl.COMPILE_STATUS))
+    throw gl.getShaderInfoLog(s);
+  return s;
+}}
+const prog = gl.createProgram();
+gl.attachShader(prog, shader(gl.VERTEX_SHADER, VS));
+gl.attachShader(prog, shader(gl.FRAGMENT_SHADER, FS));
+gl.linkProgram(prog); gl.useProgram(prog);
+const aP = gl.getAttribLocation(prog, "p");
+const aC = gl.getAttribLocation(prog, "c");
+const uMVP = gl.getUniformLocation(prog, "mvp");
+const uPS = gl.getUniformLocation(prog, "ps");
+
+function buf(data) {{
+  const b = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, b);
+  gl.bufferData(gl.ARRAY_BUFFER, data, gl.STATIC_DRAW); return b;
+}}
+const bPos = buf(pos);
+const colF = new Float32Array(NPTS * 3);
+for (let i = 0; i < NPTS * 3; i++) colF[i] = col[i] / 255;
+const bCol = buf(colF);
+const bLines = buf(lines);
+
+// line index ranges [start, count] per group: 0 traj, 1 edges, 2 axes
+const GROUPS = DATA.groups;
+
+// ---- camera ---------------------------------------------------------------
+const center0 = DATA.center, radius0 = DATA.radius;
+let yaw, pitch, dist, target;
+function home() {{
+  yaw = 0.6; pitch = -0.35; dist = radius0 * 2.2;
+  target = center0.slice();
+}}
+home();
+function mat() {{
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const eye = [target[0] + dist * cp * sy,
+               target[1] + dist * sp,
+               target[2] + dist * cp * cy];
+  // look-at view matrix
+  let f = [target[0]-eye[0], target[1]-eye[1], target[2]-eye[2]];
+  const fl = Math.hypot(...f); f = f.map(v => v / fl);
+  const upw = [0, -1, 0];  // OpenCV-style y-down world
+  let r = [f[1]*upw[2]-f[2]*upw[1], f[2]*upw[0]-f[0]*upw[2],
+           f[0]*upw[1]-f[1]*upw[0]];
+  const rl = Math.hypot(...r) || 1; r = r.map(v => v / rl);
+  const d = [r[1]*f[2]-r[2]*f[1], r[2]*f[0]-r[0]*f[2], r[0]*f[1]-r[1]*f[0]];
+  const tx = -(r[0]*eye[0]+r[1]*eye[1]+r[2]*eye[2]);
+  const ty = -(d[0]*eye[0]+d[1]*eye[1]+d[2]*eye[2]);
+  const tz = f[0]*eye[0]+f[1]*eye[1]+f[2]*eye[2];
+  const V = [r[0],d[0],-f[0],0, r[1],d[1],-f[1],0, r[2],d[2],-f[2],0,
+             tx,ty,tz,1];
+  const asp = canvas.width / canvas.height;
+  const near = Math.max(radius0 * 1e-3, dist * 1e-3), far = dist + radius0 * 20;
+  const t = near * Math.tan(30 * Math.PI / 180);
+  const P = [near/(t*asp),0,0,0, 0,near/t,0,0,
+             0,0,-(far+near)/(far-near),-1, 0,0,-2*far*near/(far-near),0];
+  // P * V
+  const M = new Float32Array(16);
+  for (let i2 = 0; i2 < 4; i2++) for (let j = 0; j < 4; j++) {{
+    let s = 0;
+    for (let k = 0; k < 4; k++) s += P[k*4+j] * V[i2*4+k];
+    M[i2*4+j] = s;
+  }}
+  return M;
+}}
+
+function draw() {{
+  const dpr = window.devicePixelRatio || 1;
+  const w = canvas.clientWidth * dpr, h = canvas.clientHeight * dpr;
+  if (canvas.width !== w || canvas.height !== h) {{
+    canvas.width = w; canvas.height = h;
+  }}
+  gl.viewport(0, 0, w, h);
+  gl.clearColor(0.063, 0.063, 0.078, 1);
+  gl.enable(gl.DEPTH_TEST);
+  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
+  const M = mat();
+  gl.uniformMatrix4fv(uMVP, false, M);
+  gl.uniform1f(uPS, parseFloat(psize.value) * (window.devicePixelRatio||1));
+  gl.enableVertexAttribArray(aP); gl.enableVertexAttribArray(aC);
+  gl.bindBuffer(gl.ARRAY_BUFFER, bPos);
+  gl.vertexAttribPointer(aP, 3, gl.FLOAT, false, 0, 0);
+  gl.bindBuffer(gl.ARRAY_BUFFER, bCol);
+  gl.vertexAttribPointer(aC, 3, gl.FLOAT, false, 0, 0);
+  gl.drawArrays(gl.POINTS, 0, NPTS);
+  // lines: interleaved xyz rgb
+  gl.bindBuffer(gl.ARRAY_BUFFER, bLines);
+  gl.vertexAttribPointer(aP, 3, gl.FLOAT, false, 24, 0);
+  gl.vertexAttribPointer(aC, 3, gl.FLOAT, false, 24, 12);
+  const show = [tTraj.checked, tEdges.checked, tAxes.checked];
+  for (let g = 0; g < GROUPS.length; g++)
+    if (show[g] && GROUPS[g][1] > 0)
+      gl.drawArrays(gl.LINES, GROUPS[g][0], GROUPS[g][1]);
+  stats.textContent = NPTS.toLocaleString() + " points · " +
+    (GROUPS[0][1]/2) + " traj segs · " + (GROUPS[1][1]/2) + " edges";
+}}
+function frame() {{ draw(); requestAnimationFrame(frame); }}
+
+// ---- input (glviewer.cpp:121-200 equivalents) -----------------------------
+let drag = null;
+canvas.addEventListener("mousedown", e => {{
+  drag = {{x: e.clientX, y: e.clientY, pan: e.button === 2 || e.shiftKey}};
+  canvas.style.cursor = "grabbing";
+}});
+window.addEventListener("mouseup", () => {{
+  drag = null; canvas.style.cursor = "grab";
+}});
+window.addEventListener("mousemove", e => {{
+  if (!drag) return;
+  const dx = e.clientX - drag.x, dy = e.clientY - drag.y;
+  drag.x = e.clientX; drag.y = e.clientY;
+  if (drag.pan) {{
+    const s = dist * 0.0015;
+    const cy = Math.cos(yaw), sy = Math.sin(yaw);
+    target[0] -= dx * s * cy; target[2] += dx * s * sy;
+    target[1] -= dy * s;
+  }} else {{
+    yaw -= dx * 0.006;
+    pitch = Math.max(-1.55, Math.min(1.55, pitch - dy * 0.006));
+  }}
+}});
+canvas.addEventListener("wheel", e => {{
+  e.preventDefault();
+  dist *= Math.exp(e.deltaY * 0.0012);
+  dist = Math.max(radius0 * 0.05, Math.min(radius0 * 40, dist));
+}}, {{passive: false}});
+canvas.addEventListener("contextmenu", e => e.preventDefault());
+canvas.addEventListener("dblclick", home);
+window.addEventListener("keydown", e => {{
+  if (e.key === "t") tTraj.checked = !tTraj.checked;
+  if (e.key === "e") tEdges.checked = !tEdges.checked;
+  if (e.key === "a") tAxes.checked = !tAxes.checked;
+  if (e.key >= "1" && e.key <= "8") psize.value = e.key;
+}});
+{live_js}
+frame();
+</script></body></html>
+"""
+
+_LIVE_JS = """
+// live mode: poll the serving process for a newer state generation and
+// reload when the SLAM run has produced more of the map
+async function poll() {
+  try {
+    const r = await fetch("gen", {cache: "no-store"});
+    const gen = parseInt(await r.text(), 10);
+    if (Number.isFinite(gen) && gen > DATA.gen) location.reload();
+  } catch (e) { /* server gone: keep the last view */ }
+  setTimeout(poll, 2000);
+}
+setTimeout(poll, 2000);
+"""
+
+
+def _b64(arr: np.ndarray) -> str:
+    return base64.b64encode(np.ascontiguousarray(arr).tobytes()).decode()
+
+
+def _line_verts(p0s, p1s, color) -> np.ndarray:
+    """(M,3),(M,3),rgb -> (2M, 6) interleaved xyzrgb line vertex rows."""
+    m = len(p0s)
+    out = np.empty((2 * m, 6), np.float32)
+    out[0::2, :3] = p0s
+    out[1::2, :3] = p1s
+    out[:, 3:] = np.asarray(color, np.float32)
+    return out
+
+
+def build_viewer_html(
+    points: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    traj: Optional[np.ndarray] = None,  # (T, 4, 4) world_T_cam
+    edges: Optional[Sequence[Tuple[int, int]]] = None,
+    title: str = "rgbdslam_v2_tpu map",
+    max_points: int = 600_000,
+    axis_len: float = 0.05,
+    axis_every: int = 10,
+    live: bool = False,
+    generation: int = 0,
+) -> str:
+    """Build the self-contained interactive viewer HTML (returns the text).
+
+    points (N, 3) float; colors (N, 3) uint8 (default light gray); traj
+    draws a yellow polyline + rgb pose axes every `axis_every` poses; edges
+    (index pairs into traj, |i-j|>1, the loop/graph edges) draw red, like
+    the reference viewer's edge rendering (glviewer.cpp:400-600)."""
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    if colors is None:
+        colors = np.full((len(points), 3), 200, np.uint8)
+    colors = np.asarray(colors, np.uint8).reshape(-1, 3)
+    if len(points) > max_points:
+        sel = np.random.default_rng(0).choice(
+            len(points), max_points, replace=False)
+        points, colors = points[sel], colors[sel]
+
+    groups = []
+    segs = []
+    # group 0: trajectory polyline (yellow)
+    start = 0
+    if traj is not None and len(traj) >= 2:
+        centers = np.asarray(traj)[:, :3, 3].astype(np.float32)
+        segs.append(_line_verts(centers[:-1], centers[1:], (1.0, 1.0, 0.2)))
+    groups.append([start, 0 if not segs else len(segs[-1])])
+    start += groups[-1][1]
+    # group 1: graph edges (red)
+    n_edge = 0
+    if traj is not None and edges:
+        centers = np.asarray(traj)[:, :3, 3].astype(np.float32)
+        pairs = [(a, b) for (a, b) in edges
+                 if abs(a - b) > 1 and a < len(centers) and b < len(centers)]
+        if pairs:
+            a_idx = np.array([p[0] for p in pairs])
+            b_idx = np.array([p[1] for p in pairs])
+            v = _line_verts(centers[a_idx], centers[b_idx], (1.0, 0.3, 0.3))
+            segs.append(v)
+            n_edge = len(v)
+    groups.append([start, n_edge])
+    start += n_edge
+    # group 2: pose axes triads (x red / y green / z blue)
+    n_axis = 0
+    if traj is not None and len(traj):
+        T = np.asarray(traj, np.float32)
+        sub = T[:: max(1, axis_every)]
+        c = sub[:, :3, 3]
+        for ax, col in ((0, (1, 0.25, 0.25)), (1, (0.25, 1, 0.25)),
+                        (2, (0.35, 0.55, 1))):
+            tips = c + sub[:, :3, ax] * axis_len
+            v = _line_verts(c, tips, col)
+            segs.append(v)
+            n_axis += len(v)
+    groups.append([start, n_axis])
+
+    line_arr = (np.concatenate(segs, 0) if segs
+                else np.zeros((0, 6), np.float32))
+    center = points.mean(0) if len(points) else np.zeros(3)
+    if len(points):
+        radius = float(np.percentile(
+            np.linalg.norm(points - center, axis=1), 90))
+    else:
+        radius = 1.0
+    data = {
+        "pos": _b64(points),
+        "col": _b64(colors),
+        "lines": _b64(line_arr),
+        "groups": groups,
+        "center": [float(x) for x in center],
+        "radius": max(radius, 1e-3),
+        "gen": generation,
+    }
+    return _HTML.format(
+        title=title,
+        data_json=json.dumps(data),
+        live_js=_LIVE_JS if live else "",
+    )
+
+
+def write_viewer_html(path, *args, **kwargs) -> str:
+    html = build_viewer_html(*args, **kwargs)
+    Path(path).write_text(html)
+    return str(path)

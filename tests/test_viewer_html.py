@@ -1,0 +1,134 @@
+"""Interactive WebGL viewer export + serve endpoint (io/viewer_html.py).
+
+The reference's GL viewer is an interactive Qt widget (glviewer.cpp); the
+TPU-host equivalent is a self-contained WebGL HTML file plus a live-reload
+HTTP server. These tests decode the embedded typed arrays back out of the
+HTML and drive the serve handler over a real socket."""
+import base64
+import json
+import re
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from rgbdslam_v2_tpu.io.viewer_html import build_viewer_html, write_viewer_html
+
+
+def _payload(html: str) -> dict:
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    assert m, "embedded DATA object not found"
+    return json.loads(m.group(1))
+
+
+def _f32(b64: str) -> np.ndarray:
+    return np.frombuffer(base64.b64decode(b64), np.float32)
+
+
+def test_viewer_html_embeds_points_and_colors():
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 2]], np.float32)
+    cols = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    html = build_viewer_html(pts, cols, title="t3")
+    d = _payload(html)
+    np.testing.assert_array_equal(
+        _f32(d["pos"]).reshape(-1, 3), pts)
+    np.testing.assert_array_equal(
+        np.frombuffer(base64.b64decode(d["col"]), np.uint8).reshape(-1, 3),
+        cols)
+    assert "<canvas" in html and "WebGL" not in d  # js inline, no ext deps
+    assert "gen" in d and d["gen"] == 0
+    # static export: no live polling
+    assert "function poll" not in html
+
+
+def test_viewer_html_line_groups():
+    pts = np.zeros((4, 3), np.float32)
+    traj = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    for k in range(5):
+        traj[k, 0, 3] = k
+    html = build_viewer_html(
+        pts, None, traj=traj, edges=[(0, 4), (1, 2)], axis_every=1)
+    d = _payload(html)
+    groups = d["groups"]
+    assert groups[0][1] == 8  # 4 polyline segments -> 8 verts
+    assert groups[1][1] == 2  # only (0,4) survives the |i-j|>1 filter
+    assert groups[2][1] == 5 * 3 * 2  # axes triads at every pose
+    lines = _f32(d["lines"]).reshape(-1, 6)
+    assert len(lines) == groups[2][0] + groups[2][1]
+    # trajectory verts walk x = 0..4
+    assert lines[0, 0] == 0.0 and lines[7, 0] == 4.0
+
+
+def test_viewer_html_subsamples_to_max_points():
+    pts = np.random.default_rng(0).normal(size=(5000, 3)).astype(np.float32)
+    html = build_viewer_html(pts, None, max_points=1000)
+    d = _payload(html)
+    assert len(_f32(d["pos"])) == 3000
+
+
+def test_write_viewer_html(tmp_path):
+    p = tmp_path / "v.html"
+    out = write_viewer_html(p, np.zeros((2, 3), np.float32))
+    assert out == str(p)
+    assert p.read_text().startswith("<!DOCTYPE html>")
+
+
+@pytest.mark.heavy
+def test_serve_live_viewer(tmp_path):
+    """End-to-end: `rgbdslam serve` over a real socket — viewer page, /gen
+    generation counter, 404s, and live reload wiring."""
+    from rgbdslam_v2_tpu.io.pointcloud import write_pcd
+    from rgbdslam_v2_tpu.apps import cli
+
+    pts = np.array([[0, 0, 1], [1, 1, 2]], np.float32)
+    cols = np.array([[10, 20, 30], [40, 50, 60]], np.uint8)
+    write_pcd(tmp_path / "cloud.pcd", pts, cols)
+    (tmp_path / "estimate.txt").write_text(
+        "0.0 0 0 0 0 0 0 1\n1.0 1 0 0 0 0 0 1\n")
+
+    # run cmd_serve's server in a thread on an ephemeral port
+    import http.server
+    import socketserver
+
+    # reuse the handler by invoking cmd_serve's internals via a tiny shim:
+    # patch TCPServer to capture the instance and use port 0
+    captured = {}
+    real_tcp = socketserver.TCPServer
+
+    class Cap(real_tcp):
+        allow_reuse_address = True
+
+        def __init__(self, addr, handler):
+            super().__init__(("127.0.0.1", 0), handler)
+            captured["srv"] = self
+
+        def serve_forever(self, *a, **k):
+            captured["ready"].set()
+            real_tcp.serve_forever(self)
+
+    captured["ready"] = threading.Event()
+    socketserver.TCPServer = Cap
+    try:
+        args = type("A", (), {"result_dir": str(tmp_path), "port": 0})
+        th = threading.Thread(target=cli.cmd_serve, args=(args,), daemon=True)
+        th.start()
+        assert captured["ready"].wait(5)
+        port = captured["srv"].server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        html = urllib.request.urlopen(f"{base}/", timeout=5).read().decode()
+        d = _payload(html)
+        np.testing.assert_array_equal(_f32(d["pos"]).reshape(-1, 3), pts)
+        assert "function poll" in html  # live-reload JS present
+        assert d["gen"] > 0
+        gen = int(urllib.request.urlopen(f"{base}/gen", timeout=5).read())
+        assert gen == d["gen"]
+        try:
+            urllib.request.urlopen(f"{base}/nope", timeout=5)
+            assert False, "404 expected"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        socketserver.TCPServer = real_tcp
+        if "srv" in captured:
+            captured["srv"].shutdown()
