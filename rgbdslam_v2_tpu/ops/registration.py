@@ -79,10 +79,23 @@ def mahalanobis_sq(
 
 
 def _gumbel_topk_sample(key, logits: jnp.ndarray, n_hyp: int, k: int):
-    """Sample n_hyp index sets of size k without replacement, ∝ softmax(logits)."""
-    g = jax.random.gumbel(key, (n_hyp,) + logits.shape)
-    _, idx = jax.lax.top_k(logits[None, :] + g, k)
-    return idx  # (n_hyp, k)
+    """Sample n_hyp index sets of size k without replacement, ∝ softmax(logits).
+
+    k successive masked-argmax passes instead of lax.top_k: top_k lowers to
+    a full stable variadic sort of the (n_hyp, M) f32+s32 matrix on TPU
+    (sort.16 in the compare HLO — the costliest op left in the program at
+    candidate batch 8), while k <= 4 argmax reductions run at VPU memory
+    speed. Sequential argmax-and-mask returns exactly top_k's indices in
+    descending-value order (first-occurrence tie-break matches the stable
+    sort), so the sampled sets are unchanged."""
+    g = jax.random.gumbel(key, (n_hyp,) + logits.shape) + logits[None, :]
+    cols = jnp.arange(logits.shape[0], dtype=jnp.int32)
+    idxs = []
+    for _ in range(k):
+        i = jnp.argmax(g, axis=-1).astype(jnp.int32)
+        idxs.append(i)
+        g = jnp.where(cols[None, :] == i[:, None], -jnp.inf, g)
+    return jnp.stack(idxs, axis=-1)  # (n_hyp, k)
 
 
 def pose_information(

@@ -176,3 +176,24 @@ def test_frame_pair_visual_odometry():
     assert float(se3.rotation_angle(err)) < 0.03
 
 pytestmark = pytest.mark.heavy  # excluded from the <2 min smoke tier
+
+
+def test_gumbel_sample_matches_topk():
+    """The k-pass masked-argmax sampler must return exactly lax.top_k's
+    index sets (same Gumbel perturbation -> same without-replacement
+    samples); only the lowering differs (top_k full-sorts the (H, M)
+    matrix on TPU)."""
+    from rgbdslam_v2_tpu.ops.registration import _gumbel_topk_sample
+
+    M, H, k = 300, 64, 4
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.normal(0, 2, M).astype(np.float32))
+    logits = jnp.where(jnp.arange(M) % 7 == 3, -jnp.inf, logits)
+    key = jax.random.PRNGKey(5)
+    idx = _gumbel_topk_sample(key, logits, H, k)
+    g = jax.random.gumbel(key, (H, M)) + logits[None, :]
+    _, ref_idx = jax.lax.top_k(g, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    # without replacement: no duplicate index inside a sample
+    arr = np.asarray(idx)
+    assert all(len(set(row)) == k for row in arr)
