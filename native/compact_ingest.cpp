@@ -46,6 +46,10 @@ namespace {
 const int kBayer6[4][4] = {
     {0, 2, 0, 2}, {3, 1, 3, 1}, {0, 2, 0, 2}, {3, 1, 3, 1}};
 
+// _BAYER4 >> 1 (one 5-bit quantization step), tiled 4x4.
+const int kBayer5[4][4] = {
+    {0, 4, 1, 5}, {6, 2, 7, 3}, {1, 5, 0, 4}, {7, 3, 6, 2}};
+
 // sqrt-coded depth LUTs: q = round(sqrt(d * 2^(2b-16))) for b quantizer
 // bits — u16 range maps onto [0, 2^b), relative step shrinks as 1/sqrt(d)
 // (mm-scale near, noise-floor-dominated far; see manager._d12_lut).
@@ -86,26 +90,63 @@ extern "C" {
 // Returns the number of bytes written to `out`, or -1 on bad arguments.
 // Exactly one of (rgb) / (gray_in) must be non-null for the luma source;
 // exactly one of (d16) / (dmeters) must be non-null for depth.
-// Requirements (checked): H*W % 4 == 0 for gray_bits=6; (H/s)*(W/s) even;
-// stride >= 1; gray_bits in {6, 8}.
+// Requirements (checked): H*W % 4 == 0 for gray_bits=6 (% 8 for 5);
+// (H/s)*(W/s) even; stride >= 1; gray_bits in {5, 6, 8}.
 int compact_yc12(const uint8_t* rgb, const uint8_t* gray_in,
                  const uint16_t* d16, const float* dmeters, int H, int W,
                  int stride, int gray_bits, int depth_bits, int chroma_mult,
                  uint8_t* out) {
   if ((rgb == nullptr) == (gray_in == nullptr)) return -1;
   if ((d16 == nullptr) == (dmeters == nullptr)) return -1;
-  if (stride < 1 || (gray_bits != 6 && gray_bits != 8)) return -1;
+  if (stride < 1 ||
+      (gray_bits != 5 && gray_bits != 6 && gray_bits != 8))
+    return -1;
   if (depth_bits != 10 && depth_bits != 12) return -1;
   if (chroma_mult != 2 && chroma_mult != 4) return -1;
   const int s = stride;
   const int hs = (H + s - 1) / s, ws = (W + s - 1) / s;
   if (gray_bits == 6 && (H * W) % 4 != 0) return -1;
+  if (gray_bits == 5 && (H * W) % 8 != 0) return -1;
   if ((hs * ws) % (depth_bits == 10 ? 4 : 2) != 0) return -1;
 
   uint8_t* p = out;
 
-  // ---- luma: RGB -> Y (+ dither + 6-bit pack), one pass ------------------
-  if (gray_bits == 6) {
+  // ---- luma: RGB -> Y (+ dither + 5/6-bit pack), one pass ----------------
+  if (gray_bits == 5) {
+    // 8 consecutive pixels -> 5 bytes (little-endian bit stream), the quad
+    // carried across row boundaries exactly like the flattened numpy
+    // reshape; dither = Bayer>>1 (one 5-bit step) with the g>>5 decoder
+    // bias cancellation (see manager._dither6(bits=5)/_pack5).
+    uint8_t oct[8];
+    int qn = 0;
+    for (int y = 0; y < H; ++y) {
+      const int* brow = kBayer5[y & 3];
+      const uint8_t* rp = rgb ? rgb + static_cast<size_t>(y) * W * 3 : nullptr;
+      const uint8_t* gp =
+          gray_in ? gray_in + static_cast<size_t>(y) * W : nullptr;
+      for (int x = 0; x < W; ++x) {
+        int g8;
+        if (rp) {
+          const uint8_t* px = rp + 3 * x;
+          g8 = (px[0] * 77 + px[1] * 150 + px[2] * 29) >> 8;
+        } else {
+          g8 = gp[x];
+        }
+        oct[qn++] = clip_u8(g8 + brow[x & 3] - (g8 >> 5)) >> 3;
+        if (qn == 8) {
+          p[0] = static_cast<uint8_t>(oct[0] | ((oct[1] & 0x07) << 5));
+          p[1] = static_cast<uint8_t>((oct[1] >> 3) | (oct[2] << 2) |
+                                      ((oct[3] & 0x01) << 7));
+          p[2] = static_cast<uint8_t>((oct[3] >> 1) | ((oct[4] & 0x0F) << 4));
+          p[3] = static_cast<uint8_t>((oct[4] >> 4) | (oct[5] << 1) |
+                                      ((oct[6] & 0x03) << 6));
+          p[4] = static_cast<uint8_t>((oct[6] >> 2) | (oct[7] << 3));
+          p += 5;
+          qn = 0;
+        }
+      }
+    }
+  } else if (gray_bits == 6) {
     // 4 consecutive pixels -> 3 bytes; W % 4 may be nonzero, so carry the
     // quad across row boundaries exactly like the flattened numpy reshape.
     uint8_t quad[4];

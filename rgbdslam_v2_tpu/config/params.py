@@ -144,9 +144,10 @@ PARAM_DEFS = [
     _p("tpu_gray_bits", 6,
        "[tpu] luma bits on the wire for the yc12 ingest: 6 (4 px -> 3 B "
        "with Bayer-ordered dithering, the default: -77 KB/frame = +24% fps "
-       "on the ~40 MB/s link at equal protocol ATE, tools/ab_gray6.py) or "
-       "8 (1 B/px, exact luma for low-contrast scenes / precision "
-       "studies)"),
+       "on the ~40 MB/s link at equal protocol ATE, tools/ab_gray6.py), "
+       "5 (8 px -> 5 B dithered, another -38 KB/frame; A/B before relying "
+       "on it for low-texture scenes), or 8 (1 B/px, exact luma for "
+       "low-contrast scenes / precision studies)"),
     _p("tpu_depth_bits", 10,
        "[tpu] sqrt-coded depth bits on the wire for the yc12 ingest: 10 "
        "(1.25 B/sample, error 3.5-6 mm — 3-15x below the 0.01z^2 sensor "

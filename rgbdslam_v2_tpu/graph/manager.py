@@ -128,6 +128,19 @@ def _pack6(gray8: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def _pack5(gray8: np.ndarray) -> np.ndarray:
+    """(N,) u8 gray, N % 8 == 0 -> (5N/8,) u8: 5-bit luma, 8 px per 5 B
+    (little-endian bit stream like the 10-bit depth packing)."""
+    a = (gray8.reshape(-1, 8) >> 3).astype(np.uint8)
+    out = np.empty((a.shape[0], 5), np.uint8)
+    out[:, 0] = a[:, 0] | ((a[:, 1] & 0x07) << 5)
+    out[:, 1] = (a[:, 1] >> 3) | (a[:, 2] << 2) | ((a[:, 3] & 0x01) << 7)
+    out[:, 2] = (a[:, 3] >> 1) | ((a[:, 4] & 0x0F) << 4)
+    out[:, 3] = (a[:, 4] >> 4) | (a[:, 5] << 1) | ((a[:, 6] & 0x03) << 6)
+    out[:, 4] = (a[:, 6] >> 2) | (a[:, 7] << 3)
+    return out.reshape(-1)
+
+
 _BAYER4 = np.array(
     [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
     np.uint16,
@@ -135,26 +148,27 @@ _BAYER4 = np.array(
 _dither_plane_cache: dict = {}
 
 
-def _dither6(gray8: np.ndarray) -> np.ndarray:
-    """Ordered (Bayer 4x4) dithering before the 6-bit truncation.
+def _dither6(gray8: np.ndarray, bits: int = 6) -> np.ndarray:
+    """Ordered (Bayer 4x4) dithering before the `bits`-bit truncation.
 
     Plain >>2 truncation produces spatially-correlated banding that flips
     BRIEF pair comparisons consistently across a region (measured: protocol
     ATE 0.0229 vs 0.0192 m at 8 bit). Adding the tiled Bayer offset
-    (0..3 = one quantization step, zero-mean after decode) before the shift
-    converts that bias into high-frequency noise the descriptor's smoothing
-    averages out. The g>>6 term cancels the device decoder's bit-replication
-    bias (decode(q) = 4q + q>>4 ~ g + g/64), making the decoded mean track
-    the original. One vectorized i16 add over the plane (~0.3 ms at VGA)."""
+    (scaled to one quantization step, zero-mean after decode) before the
+    shift converts that bias into high-frequency noise the descriptor's
+    smoothing averages out. The g>>bits term cancels the device decoder's
+    bit-replication bias (decode(q) = q<<(8-bits) + q>>(2*bits-8)
+    ~ g + g/2^bits), making the decoded mean track the original. One
+    vectorized i16 add over the plane (~0.3 ms at VGA)."""
     H, W = gray8.shape
-    off = _dither_plane_cache.get((H, W))
+    off = _dither_plane_cache.get((H, W, bits))
     if off is None:
         off = (_BAYER4[
             np.arange(H)[:, None] % 4, np.arange(W)[None, :] % 4
-        ] >> 2).astype(np.int16)  # 16 Bayer levels -> 0..3 (one 6-bit step)
-        _dither_plane_cache[(H, W)] = off
+        ] >> (bits - 4)).astype(np.int16)  # 16 Bayer levels -> one q step
+        _dither_plane_cache[(H, W, bits)] = off
     g = gray8.astype(np.int16)
-    return np.clip(g + off - (g >> 6), 0, 255).astype(np.uint8)
+    return np.clip(g + off - (g >> bits), 0, 255).astype(np.uint8)
 
 
 def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
@@ -217,11 +231,12 @@ def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
         d16 = np.clip(d * DEPTH_SCALE, 0, 65535).astype(np.uint16)
 
     if fmt == "yc12":
-        gray_wire = (
-            _pack6(_dither6(gray8).reshape(-1))
-            if gray_bits == 6
-            else gray8.reshape(-1)
-        )
+        if gray_bits == 6:
+            gray_wire = _pack6(_dither6(gray8).reshape(-1))
+        elif gray_bits == 5:
+            gray_wire = _pack5(_dither6(gray8, bits=5).reshape(-1))
+        else:
+            gray_wire = gray8.reshape(-1)
         dsub = d16[::stride, ::stride].reshape(-1)
         if depth_bits == 10:
             d12 = _pack10(_d10_lut()[dsub])
@@ -281,12 +296,34 @@ def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6,
     Color: Y from the stride-s gray plane + Cb/Cr nearest-upsampled from
     stride 2s-or-4s (BT.601 inverse) — all elementwise, fuses into the
     step program. gray_bits=6 unpacks the 4-px-per-3-B luma with
-    bit-replication ((q<<2)|(q>>4))."""
-    n_gray = H * W if gray_bits == 8 else (H * W // 4) * 3
+    bit-replication ((q<<2)|(q>>4)); gray_bits=5 the 8-px-per-5-B form
+    ((q<<3)|(q>>2))."""
+    if gray_bits == 8:
+        n_gray = H * W
+    elif gray_bits == 6:
+        n_gray = (H * W // 4) * 3
+    else:
+        n_gray = (H * W // 8) * 5
     h, w = H // stride, W // stride
     cm = _chroma_mult(H, W, stride)
     hc, wc = H // (cm * stride), W // (cm * stride)
-    if gray_bits == 6:
+    if gray_bits == 5:
+        b = packed[:n_gray].reshape(-1, 5).astype(jnp.uint32)
+        q = jnp.stack(
+            [
+                b[:, 0] & 0x1F,
+                (b[:, 0] >> 5) | ((b[:, 1] & 0x03) << 3),
+                (b[:, 1] >> 2) & 0x1F,
+                (b[:, 1] >> 7) | ((b[:, 2] & 0x0F) << 1),
+                (b[:, 2] >> 4) | ((b[:, 3] & 0x01) << 4),
+                (b[:, 3] >> 1) & 0x1F,
+                (b[:, 3] >> 6) | ((b[:, 4] & 0x07) << 2),
+                b[:, 4] >> 3,
+            ],
+            axis=-1,
+        ).reshape(H, W)
+        gray8 = ((q << 3) | (q >> 2)).astype(jnp.uint8)
+    elif gray_bits == 6:
         g = packed[:n_gray].reshape(-1, 3).astype(jnp.uint32)
         q = jnp.stack(
             [
@@ -592,6 +629,11 @@ class GraphManager:
                 "back to raw", cam.width, cam.height, 2 * s
             )
             self.ingest_fmt = "raw"
+        if self.gray_bits == 5 and (cam.height * cam.width) % 8:
+            logger.warning(
+                "frame area %% 8 != 0; tpu_gray_bits=5 falls back to 6"
+            )
+            self.gray_bits = 6
         self.cam_small = Intrinsics(
             fx=cam.fx / s,
             fy=cam.fy / s,

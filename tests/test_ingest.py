@@ -130,6 +130,71 @@ def test_gray6_dither_unbiased():
     assert np.abs(recon - ramp.astype(np.int32)).mean() < 2.0
 
 
+def test_gray5_pack_roundtrip():
+    """5-bit luma wire option: exact 5-bit roundtrip through the device
+    decoder's bit layout; max abs error vs the original u8 is one step."""
+    from rgbdslam_v2_tpu.graph.manager import _pack5, _unpack_yc12
+
+    rng = np.random.default_rng(9)
+    H, W = 8, 16
+    g = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    packed = _pack5(g.reshape(-1))
+    assert packed.nbytes == g.size * 5 // 8
+    # splice the luma bytes into a full yc12 buffer (zero depth/chroma)
+    n_d = (H // 2) * (W // 2) // 4 * 5
+    n_c = 2 * (H // 4) * (W // 4)
+    buf = np.concatenate([packed, np.zeros(n_d + n_c, np.uint8)])
+    gray8, _, _ = _unpack_yc12(jnp.asarray(buf), H, W, 2, gray_bits=5)
+    q = np.asarray(gray8)
+    np.testing.assert_array_equal(q >> 3, g >> 3)  # exact 5-bit codes
+    assert np.abs(q.astype(int) - g.astype(int)).max() <= 8
+
+
+def test_gray5_dither_unbiased():
+    """Bayer dithering scaled to the 5-bit step keeps the decoded mean
+    within ~1.5 gray levels of the original on flat patches (plain
+    truncation biases by up to -7)."""
+    from rgbdslam_v2_tpu.graph.manager import _dither6
+
+    H, W = 32, 64
+    for level in (37, 100, 201, 254):
+        g = np.full((H, W), level, np.uint8)
+        q = (_dither6(g, bits=5) >> 3).astype(np.int32)
+        recon = (q << 3) | (q >> 2)
+        err = recon - int(level)
+        assert np.abs(err.mean()) <= 1.6, (level, err.mean())
+        assert np.abs(err).max() <= 8
+
+
+def test_gray5_ingest_extracts():
+    """gray_bits=5 end-to-end through _prepare_and_extract: keypoints still
+    fire on a textured frame and the depth path is unaffected."""
+    from rgbdslam_v2_tpu.io import SyntheticWorld
+    from rgbdslam_v2_tpu.models.orb import OrbExtractor
+
+    cam = _cam()
+    world = SyntheticWorld.create(seed=0, texture_size=256, cam=cam)
+    T = world.orbit_trajectory(4, seed=1)[1]
+    rgb_f, depth = world.render(T)
+    rgb = (np.asarray(rgb_f) * 255).astype(np.uint8)
+    ext = OrbExtractor(max_keypoints=128, n_levels=3)
+    packed = compact_frame(rgb, np.asarray(depth), 2, fmt="yc12", gray_bits=5)
+    kp, ds, _ = _prepare_and_extract(
+        ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed),
+        fmt="yc12", gray_bits=5,
+    )
+    packed8 = compact_frame(rgb, np.asarray(depth), 2, fmt="yc12",
+                            gray_bits=8)
+    kp8, ds8, _ = _prepare_and_extract(
+        ext, cam, 2, 0.1, 10.0, False, jnp.asarray(packed8), fmt="yc12",
+        gray_bits=8,
+    )
+    n5 = int(np.asarray(kp.valid).sum())
+    n8 = int(np.asarray(kp8.valid).sum())
+    assert n5 >= int(0.7 * n8), (n5, n8)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds8))
+
+
 def test_gray6_ingest_extracts():
     """gray_bits=6 end-to-end through _prepare_and_extract: keypoints still
     fire on a textured frame and depth path is unaffected."""

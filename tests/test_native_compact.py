@@ -29,7 +29,7 @@ def _numpy_pack(monkeypatch, rgb, depth, stride, gray_bits, depth_bits=10):
                              gray_bits=gray_bits, depth_bits=depth_bits)
 
 
-@pytest.mark.parametrize("gray_bits", [6, 8])
+@pytest.mark.parametrize("gray_bits", [5, 6, 8])
 @pytest.mark.parametrize("depth_bits", [10, 12])
 @pytest.mark.parametrize("depth_kind", ["u16", "f32"])
 def test_native_matches_numpy_bytes(monkeypatch, gray_bits, depth_bits,

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""A/B: tpu_gray_bits 8 vs 6 on the real chip — fps + 5-level protocol ATE.
+"""A/B: tpu_gray_bits on the real chip — fps + 5-level protocol ATE.
 
-Decides whether the 6-bit luma wire format (−77 KB/frame on the link)
-keeps the protocol ATE at the reference-beating level. Run ALONE."""
+Decides whether a lower-bit luma wire format keeps the protocol ATE at
+the reference-beating level. Pass the bit list as argv (default '6 5';
+round-2 verdict: 6 beat 8 at equal ATE). Run ALONE."""
 import sys
 import tempfile
 import time
@@ -23,7 +24,7 @@ n = len(rgbs)
 stamps = np.arange(n) / 30.0
 warmup = 20
 
-for bits in (8, 6):
+for bits in ([int(a) for a in sys.argv[1:]] or (6, 5)):
     params = ParameterServer(dict(
         max_keypoints=600, tpu_max_nodes=1024, tpu_max_edges=8192,
         tpu_candidate_batch=8, ransac_iterations=200, optimizer_skip_step=10,
