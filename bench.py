@@ -33,6 +33,7 @@ Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 Stage budgets and per-scale fps go to stderr.
 """
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -40,7 +41,36 @@ from pathlib import Path
 BASELINE_FPS = 16.6  # reference fr1_desk end-to-end (test/README:106)
 
 
+def wait_for_backend(attempts: int = 10, probe_timeout: float = 120.0):
+    """Gate on the device backend actually answering.
+
+    The tunnel link to the chip can be transiently down; jax.devices() then
+    blocks indefinitely INSIDE this process with no way to cancel it. Probe
+    from a killable subprocess (sequential, so the single-jax-process rule
+    holds) and retry for up to ~20 min before giving up with a parseable
+    error line instead of a silent hang."""
+    code = "import jax; jax.devices(); print('ok')"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                timeout=probe_timeout, text=True,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] device backend not answering "
+              f"(probe {i + 1}/{attempts}); retrying", file=sys.stderr)
+        time.sleep(5.0)
+    print(json.dumps({"metric": "slam_fps", "value": None, "unit": "fps",
+                      "vs_baseline": None,
+                      "error": "device backend unavailable"}))
+    sys.exit(3)
+
+
 def main():
+    wait_for_backend()
     import rgbdslam_v2_tpu
 
     rgbdslam_v2_tpu.enable_compilation_cache()

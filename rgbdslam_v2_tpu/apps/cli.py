@@ -397,15 +397,10 @@ def cmd_view(args):
     return 0
 
 
-def cmd_serve(args):
-    """Serve the interactive viewer over HTTP with live reload — the
-    closest headless equivalent of the reference's always-open GL window
-    during a run (glviewer.cpp): a SLAM process periodically saving
-    results makes the browser refresh within ~2 s."""
+def make_viewer_handler(root: Path):
+    """Build the live-viewer HTTP handler class for `rgbdslam serve`
+    (factored out so tests can mount it on an ephemeral TCPServer)."""
     import http.server
-    import socketserver
-
-    root = Path(args.result_dir)
 
     def generation() -> int:
         gen = 0
@@ -452,7 +447,19 @@ def cmd_serve(args):
             else:
                 self.send_error(404)
 
-    with socketserver.TCPServer(("", args.port), Handler) as httpd:
+    return Handler
+
+
+def cmd_serve(args):
+    """Serve the interactive viewer over HTTP with live reload — the
+    closest headless equivalent of the reference's always-open GL window
+    during a run (glviewer.cpp): a SLAM process periodically saving
+    results makes the browser refresh within ~2 s."""
+    import socketserver
+
+    root = Path(args.result_dir)
+    with socketserver.TCPServer(("", args.port),
+                                make_viewer_handler(root)) as httpd:
         print(json.dumps({"serving": str(root),
                           "url": f"http://localhost:{args.port}/"}),
               flush=True)

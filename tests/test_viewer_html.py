@@ -132,3 +132,44 @@ def test_serve_live_viewer(tmp_path):
         socketserver.TCPServer = real_tcp
         if "srv" in captured:
             captured["srv"].shutdown()
+
+
+def test_serve_handler_http_roundtrip(tmp_path):
+    """`rgbdslam serve`: the live handler serves the viewer page, the /gen
+    generation counter, 404s elsewhere, and shows the waiting page while
+    results are absent."""
+    import socketserver
+    import threading
+    import urllib.request
+
+    from rgbdslam_v2_tpu.apps.cli import make_viewer_handler
+    from rgbdslam_v2_tpu.io.pointcloud import write_pcd
+
+    with socketserver.TCPServer(("127.0.0.1", 0),
+                                make_viewer_handler(tmp_path)) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{port}"
+            # no cloud.pcd yet: waiting page with auto-reload
+            body = urllib.request.urlopen(f"{url}/", timeout=10).read()
+            assert b"waiting for results" in body
+            # write a result; page becomes the live viewer
+            pts = np.array([[0, 0, 1], [0.1, 0, 1.2], [0, 0.1, 0.9]],
+                           np.float32)
+            write_pcd(tmp_path / "cloud.pcd", pts,
+                      np.full((3, 3), 200, np.uint8))
+            body = urllib.request.urlopen(f"{url}/viewer.html",
+                                          timeout=10).read()
+            assert b"webgl" in body and b"DATA" in body
+            assert b"poll()" in body  # live-reload script present
+            gen = urllib.request.urlopen(f"{url}/gen", timeout=10).read()
+            assert int(gen) > 0
+            try:
+                urllib.request.urlopen(f"{url}/nope", timeout=10)
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            httpd.shutdown()
