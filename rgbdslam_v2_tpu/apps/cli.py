@@ -62,6 +62,21 @@ def cmd_run(args):
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     pipe.online_octomap_path = str(out / "map_online.ot")
+    httpd = None
+    if getattr(args, "serve", None) is not None:
+        # live interactive view + run controls while SLAM is in progress
+        # (the reference's always-open GL window + GUI actions)
+        import socketserver
+        import threading
+
+        pipe.live_dir = out
+        pipe.live_interval = args.serve_interval
+        httpd = socketserver.TCPServer(
+            ("", args.serve), make_viewer_handler(out, pipe=pipe))
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        print(json.dumps({"serving": str(out),
+                          "url": f"http://localhost:{args.serve}/"}),
+              file=sys.stderr, flush=True)
     gt_stamps = gt_xyz = None
     bagfile = args.bagfile or params["bagfile_name"]
     if args.tum_dir:
@@ -123,6 +138,9 @@ def cmd_run(args):
     if args.save_bag:
         pipe.save_bagfile(out / "result.bag")
         print("saved result.bag")
+    if httpd is not None:
+        pipe._live_refresh(force=True)  # final state for the live page
+        httpd.shutdown()
     return 0
 
 
@@ -327,18 +345,26 @@ def cmd_slam_multi(args):
     return 0
 
 
-def _load_result_dir(root: Path):
+def _load_result_dir(root: Path, require_cloud: bool = True):
     """Load a result dir's cloud + trajectory + graph edges for viewing.
 
     Returns (points, colors, traj(T,4,4)|None, edges|None); raises
-    FileNotFoundError when cloud.pcd is absent."""
+    FileNotFoundError when cloud.pcd is absent (require_cloud=False
+    tolerates a missing cloud — the live view starts from trajectory +
+    edges alone — but raises when NOTHING viewable exists yet)."""
+    import numpy as np
+
     from ..io.pointcloud import read_pcd
     from ..io.tum import read_trajectory_file
 
     cloud = root / "cloud.pcd"
-    if not cloud.exists():
+    if cloud.exists():
+        points, colors = read_pcd(cloud)
+    elif require_cloud:
         raise FileNotFoundError(f"{cloud} not found (run with --save-clouds)")
-    points, colors = read_pcd(cloud)
+    else:
+        points = np.zeros((0, 3), np.float32)
+        colors = np.zeros((0, 3), np.uint8)
     traj = edges = None
     for name in ("estimate_iteration_4.txt", "estimate.txt"):
         if (root / name).exists():
@@ -364,6 +390,9 @@ def _load_result_dir(root: Path):
 
         _poses, _fixed, g2o_edges = read_g2o(root / "graph.g2o")
         edges = [(int(i), int(j)) for (i, j, _m, _inf) in g2o_edges]
+    if not require_cloud and len(points) == 0 and traj is None:
+        raise FileNotFoundError(
+            f"nothing viewable in {root} yet (no cloud.pcd / estimate*.txt)")
     return points, colors, traj, edges
 
 
@@ -397,9 +426,15 @@ def cmd_view(args):
     return 0
 
 
-def make_viewer_handler(root: Path):
-    """Build the live-viewer HTTP handler class for `rgbdslam serve`
-    (factored out so tests can mount it on an ephemeral TCPServer)."""
+def make_viewer_handler(root: Path, pipe=None):
+    """Build the live-viewer HTTP handler class for `rgbdslam serve` /
+    `rgbdslam run --serve` (factored out so tests can mount it on an
+    ephemeral TCPServer).
+
+    With a SlamPipeline attached, POST /ctl/{pause,step,save} maps onto
+    the GUI action surface (the reference's pause / getOneFrame / save
+    signals, openni_listener.cpp:119-120, qt_gui slots): the handler only
+    flips host-side flags; all device work stays on the run-loop thread."""
     import http.server
 
     def generation() -> int:
@@ -415,37 +450,57 @@ def make_viewer_handler(root: Path):
         def log_message(self, *a):  # quiet
             pass
 
+        def _send(self, body: bytes, ctype: str, code: int = 200):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path.rstrip("/") in ("", "/viewer.html"):
                 from ..io.viewer_html import build_viewer_html
 
                 try:
-                    points, colors, traj, edges = _load_result_dir(root)
-                except FileNotFoundError as exc:
+                    points, colors, traj, edges = _load_result_dir(
+                        root, require_cloud=False)
+                except Exception as exc:  # nothing yet / partial write
                     body = (f"<html><body><h3>waiting for results…</h3>"
                             f"<p>{exc}</p><script>setTimeout("
                             "()=>location.reload(),2000)</script>"
                             "</body></html>").encode()
-                    self.send_response(200)
-                else:
-                    body = build_viewer_html(
-                        points, colors, traj=traj, edges=edges,
-                        title=root.name or "rgbdslam map", live=True,
-                        generation=generation()).encode()
-                    self.send_response(200)
-                self.send_header("Content-Type", "text/html; charset=utf-8")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                    self._send(body, "text/html; charset=utf-8")
+                    return
+                body = build_viewer_html(
+                    points, colors, traj=traj, edges=edges,
+                    title=root.name or "rgbdslam map", live=True,
+                    controls=pipe is not None,
+                    generation=generation()).encode()
+                self._send(body, "text/html; charset=utf-8")
             elif self.path.endswith("/gen"):
-                body = str(generation()).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "text/plain")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._send(str(generation()).encode(), "text/plain")
             else:
                 self.send_error(404)
+
+        def do_POST(self):
+            if pipe is None or not self.path.startswith("/ctl/"):
+                self.send_error(409 if pipe is None else 404)
+                return
+            action = self.path[len("/ctl/"):].rstrip("/")
+            if action == "pause":
+                paused = pipe.toggle_pause()
+                msg = "paused" if paused else "running"
+            elif action == "step":
+                pipe.get_one_frame()
+                msg = "stepping one frame"
+            elif action == "save":
+                pipe.request_live_save()
+                msg = "cloud save queued"
+            else:
+                self.send_error(404)
+                return
+            self._send(json.dumps({"status": msg}).encode(),
+                       "application/json")
 
     return Handler
 
@@ -517,6 +572,12 @@ def main(argv=None):
     runp.add_argument("--landmark-ba", action="store_true",
                       help="refine with landmark bundle adjustment "
                            "(DO_FEATURE_OPTIMIZATION capability)")
+    runp.add_argument("--serve", type=int, default=None, metavar="PORT",
+                      help="serve the live WebGL viewer + run controls "
+                           "(pause/step/save) on PORT while running")
+    runp.add_argument("--serve-interval", type=int, default=30,
+                      metavar="FRAMES",
+                      help="frames between live-view output refreshes")
     runp.set_defaults(fn=cmd_run)
 
     synp = sub.add_parser("synthetic", help="generate a synthetic TUM dataset")

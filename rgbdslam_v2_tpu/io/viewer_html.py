@@ -49,7 +49,7 @@ _HTML = """<!DOCTYPE html>
  <label><input id="tEdges" type="checkbox" checked> graph edges (e)</label>
  <label><input id="tAxes" type="checkbox" checked> pose axes (a)</label>
  <span style="opacity:.6">drag orbit · right-drag pan · wheel zoom ·
- dblclick reset</span>
+ dblclick reset</span>{ctl_html}
 </div>
 <div id="stats"></div>
 <script>
@@ -230,6 +230,32 @@ async function poll() {
 setTimeout(poll, 2000);
 """
 
+# run controls (only when the server has a live pipeline attached): the
+# reference GUI's pause / step-one-frame / save actions as /ctl endpoints
+_CTL_HTML = """
+ <div style="margin-top:6px;border-top:1px solid #333;padding-top:6px">
+  <button id="bPause">pause</button>
+  <button id="bStep">step</button>
+  <button id="bSave">save cloud</button>
+  <span id="ctlMsg" style="opacity:.7"></span>
+ </div>
+"""
+
+_CTL_JS = """
+async function ctl(action, btn) {
+  try {
+    const r = await fetch("ctl/" + action, {method: "POST"});
+    const j = await r.json();
+    ctlMsg.textContent = j.status;
+    if (action === "pause")
+      btn.textContent = j.status === "paused" ? "resume" : "pause";
+  } catch (e) { ctlMsg.textContent = "control failed"; }
+}
+bPause.onclick = () => ctl("pause", bPause);
+bStep.onclick = () => ctl("step", bStep);
+bSave.onclick = () => ctl("save", bSave);
+"""
+
 
 def _b64(arr: np.ndarray) -> str:
     return base64.b64encode(np.ascontiguousarray(arr).tobytes()).decode()
@@ -255,6 +281,7 @@ def build_viewer_html(
     axis_len: float = 0.05,
     axis_every: int = 10,
     live: bool = False,
+    controls: bool = False,
     generation: int = 0,
 ) -> str:
     """Build the self-contained interactive viewer HTML (returns the text).
@@ -326,10 +353,14 @@ def build_viewer_html(
         "radius": max(radius, 1e-3),
         "gen": generation,
     }
+    live_js = _LIVE_JS if live else ""
+    if controls:
+        live_js += _CTL_JS
     return _HTML.format(
         title=title,
         data_json=json.dumps(data),
-        live_js=_LIVE_JS if live else "",
+        live_js=live_js,
+        ctl_html=_CTL_HTML if controls else "",
     )
 
 

@@ -60,6 +60,13 @@ class SlamPipeline:
         self._online_map = None
         self._online_inserts = 0
         self.online_octomap_path = "map_online.ot"
+        # live viewing (`rgbdslam run --serve`): refresh trajectory + graph
+        # outputs every live_interval processed frames so the served WebGL
+        # page tracks the run (the reference GUI's always-updating render)
+        self.live_dir = None
+        self.live_interval = 30
+        self._live_counter = 0
+        self._live_save_requested = False
 
     # ------------------------------------------------------------------
     # Interactive run control (the reference's pause / "space" / "enter"
@@ -72,6 +79,42 @@ class SlamPipeline:
     def get_one_frame(self):
         """Process exactly one frame while paused (getOneFrame signal)."""
         self._step_once = True
+
+    def request_live_save(self):
+        """Queue a cloud save at the next live refresh (the GUI's save
+        action, executed on the run-loop thread — never on the HTTP
+        handler thread, which must not touch device state)."""
+        self._live_save_requested = True
+
+    def _live_refresh(self, force: bool = False):
+        """Refresh live-view outputs (estimate.txt + graph.g2o, plus
+        cloud.pcd when requested) into live_dir. Writes are atomic
+        (tmp + os.replace) so the serving thread never reads a torn file."""
+        if self.live_dir is None:
+            return
+        self._live_counter += 1
+        if not force and self._live_counter % max(1, self.live_interval):
+            return
+        import os
+
+        from ..io.tum import write_trajectory
+
+        out = Path(self.live_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        if self.manager.n_nodes == 0:
+            return
+        stamps, poses = self.manager.trajectory()
+        tmp = out / ".estimate.tmp"
+        write_trajectory(tmp, stamps, poses)
+        os.replace(tmp, out / "estimate.txt")
+        tmp = out / ".graph.tmp"
+        self.save_g2o(tmp)
+        os.replace(tmp, out / "graph.g2o")
+        if self._live_save_requested:
+            self._live_save_requested = False
+            tmp = out / ".cloud.tmp"
+            self.save_clouds(tmp)
+            os.replace(tmp, out / "cloud.pcd")
 
     # ------------------------------------------------------------------
     def process_frame(self, rgb, depth, timestamp: float, gt_pose=None,
@@ -88,6 +131,7 @@ class SlamPipeline:
             self.n_dropped += 1
         elif self.params["octomap_online_creation"]:
             self._online_octomap_insert(self.manager.n_nodes - 1)
+        self._live_refresh()
         return took
 
     def _online_octomap_insert(self, node_id: int):
@@ -169,6 +213,8 @@ class SlamPipeline:
                     # both paired nodes entered the graph (keep_all fast path)
                     self._online_octomap_insert(self.manager.n_nodes - 2)
                     self._online_octomap_insert(self.manager.n_nodes - 1)
+                self._live_refresh()
+                self._live_refresh()
                 k += 2
                 continue
             # anchor the fixed first vertex at the GT of the first frame

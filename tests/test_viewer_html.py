@@ -173,3 +173,69 @@ def test_serve_handler_http_roundtrip(tmp_path):
                 assert e.code == 404
         finally:
             httpd.shutdown()
+
+
+def test_live_run_serve_controls(tmp_path):
+    """`rgbdslam run --serve` machinery: the pipeline's live refresh writes
+    atomic estimate/graph outputs mid-run, the served page gains control
+    buttons, and /ctl endpoints drive pause/step/save through host flags."""
+    import json as _json
+    import socketserver
+    import threading
+    import urllib.request
+
+    from rgbdslam_v2_tpu.apps.cli import make_viewer_handler
+    from rgbdslam_v2_tpu.config import ParameterServer
+    from rgbdslam_v2_tpu.core.camera import Intrinsics
+    from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
+    from rgbdslam_v2_tpu.pipeline import SlamPipeline
+
+    cam = Intrinsics(fx=65.0, fy=65.0, cx=40.0, cy=30.0, width=80, height=60)
+    world = SyntheticWorld.create(seed=0, texture_size=128, cam=cam)
+    poses, rgbs, depths = render_sequence(world, 6, seed=1)
+    params = ParameterServer(dict(
+        max_keypoints=64, tpu_max_nodes=16, tpu_max_edges=64,
+        tpu_candidate_batch=2, ransac_iterations=32, min_matches=8,
+        keep_all_nodes=True,
+    ))
+    pipe = SlamPipeline(cam, params)
+    pipe.live_dir = tmp_path
+    pipe.live_interval = 2  # refresh every other frame
+    with socketserver.TCPServer(
+        ("127.0.0.1", 0), make_viewer_handler(tmp_path, pipe=pipe)
+    ) as httpd:
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{port}"
+
+            def post(action):
+                req = urllib.request.Request(f"{url}/ctl/{action}",
+                                             method="POST")
+                return _json.loads(
+                    urllib.request.urlopen(req, timeout=10).read())
+
+            # pause via HTTP; frames are then dropped by process_frame
+            assert post("pause")["status"] == "paused"
+            assert pipe.paused
+            assert not pipe.process_frame(rgbs[0], depths[0], 0.0)
+            # step exactly one frame while paused
+            post("step")
+            assert pipe.process_frame(rgbs[0], depths[0], 0.0,
+                                      gt_pose=poses[0])
+            assert not pipe.process_frame(rgbs[1], depths[1], 1 / 30)
+            assert post("pause")["status"] == "running"
+            # queue a cloud save, then run frames: live outputs appear
+            post("save")
+            for i in range(1, 6):
+                pipe.process_frame(rgbs[i], depths[i], i / 30.0)
+            assert (tmp_path / "estimate.txt").exists()
+            assert (tmp_path / "graph.g2o").exists()
+            assert (tmp_path / "cloud.pcd").exists()  # the queued save
+            assert not pipe._live_save_requested
+            # the served page now carries data + control buttons
+            body = urllib.request.urlopen(f"{url}/", timeout=10).read()
+            assert b"bPause" in body and b"ctl(" in body
+            assert b"DATA" in body
+        finally:
+            httpd.shutdown()
