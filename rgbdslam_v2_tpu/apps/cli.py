@@ -479,6 +479,12 @@ def make_viewer_handler(root: Path, pipe=None):
                 self._send(body, "text/html; charset=utf-8")
             elif self.path.endswith("/gen"):
                 self._send(str(generation()).encode(), "text/plain")
+            elif self.path.split("?")[0].endswith("/frame.png"):
+                p = root / "frame.png"
+                if p.exists():
+                    self._send(p.read_bytes(), "image/png")
+                else:
+                    self.send_error(404)
             else:
                 self.send_error(404)
 

@@ -228,6 +228,14 @@ async function poll() {
   setTimeout(poll, 2000);
 }
 setTimeout(poll, 2000);
+// 2D pane: the run's current frame + its keypoints (the GUI's image
+// panes); hidden until the first frame.png exists
+const pane = document.createElement("img");
+pane.style.cssText = "position:fixed;right:8px;bottom:8px;max-width:32%;" +
+  "border:1px solid #333;border-radius:4px;display:none";
+pane.onload = () => { pane.style.display = "block"; };
+pane.src = "frame.png?g=" + DATA.gen;
+document.body.appendChild(pane);
 """
 
 # run controls (only when the server has a live pipeline attached): the

@@ -67,6 +67,7 @@ class SlamPipeline:
         self.live_interval = 30
         self._live_counter = 0
         self._live_save_requested = False
+        self._last_rgb = None  # most recent raw frame (live 2D pane)
 
     # ------------------------------------------------------------------
     # Interactive run control (the reference's pause / "space" / "enter"
@@ -115,6 +116,22 @@ class SlamPipeline:
             tmp = out / ".cloud.tmp"
             self.save_clouds(tmp)
             os.replace(tmp, out / "cloud.pcd")
+        if self._last_rgb is not None:
+            # 2D pane: current frame + its committed keypoints (the GUI's
+            # visual/feature image panes, qt_gui.cpp image labels)
+            from ..io.render3d import write_png
+            from ..io.visualization import draw_feature_flow
+
+            nid = self.manager.n_nodes - 1
+            uv = np.asarray(self.manager.store.uv[nid])
+            val = np.asarray(self.manager.store.kp_valid[nid])
+            rgb = self._last_rgb
+            if rgb.ndim == 2:
+                rgb = np.repeat(rgb[..., None], 3, axis=-1)
+            img = draw_feature_flow(rgb, uv, uv, val)
+            tmp = out / ".frame.tmp.png"  # .png so cv2.imwrite picks a codec
+            write_png(tmp, img)
+            os.replace(tmp, out / "frame.png")
 
     # ------------------------------------------------------------------
     def process_frame(self, rgb, depth, timestamp: float, gt_pose=None,
@@ -122,6 +139,8 @@ class SlamPipeline:
         if self.paused and not self._step_once:
             return False
         self._step_once = False
+        if self.live_dir is not None and rgb is not None:
+            self._last_rgb = rgb
         t0 = time.perf_counter()
         took = self.manager.add_frame(rgb, depth, timestamp, gt_pose,
                                       compact=compact)
@@ -192,6 +211,8 @@ class SlamPipeline:
             # so prefetch buys nothing and extra dispatches cost latency).
             cpt = compact_frame(rgbs[i], depths[i], stride, fmt=fmt, gray_bits=gb,
                                 depth_bits=db)
+            if self.live_dir is not None:
+                self._last_rgb = rgbs[i]
             if (
                 pair
                 and not self.paused

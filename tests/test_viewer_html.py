@@ -233,9 +233,14 @@ def test_live_run_serve_controls(tmp_path):
             assert (tmp_path / "graph.g2o").exists()
             assert (tmp_path / "cloud.pcd").exists()  # the queued save
             assert not pipe._live_save_requested
-            # the served page now carries data + control buttons
+            # 2D pane: current frame + keypoints served as PNG
+            assert (tmp_path / "frame.png").exists()
+            png = urllib.request.urlopen(f"{url}/frame.png?g=1",
+                                         timeout=10).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            # the served page now carries data + control buttons + pane
             body = urllib.request.urlopen(f"{url}/", timeout=10).read()
             assert b"bPause" in body and b"ctl(" in body
-            assert b"DATA" in body
+            assert b"DATA" in body and b"frame.png" in body
         finally:
             httpd.shutdown()
