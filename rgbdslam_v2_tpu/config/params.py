@@ -153,6 +153,11 @@ PARAM_DEFS = [
        "(1.25 B/sample, error 3.5-6 mm — 3-15x below the 0.01z^2 sensor "
        "noise floor, -19 KB/frame on the ~40 MB/s link) or 12 "
        "(1.5 B/sample, 0.9-1.3 mm, precision studies)"),
+    _p("tpu_approx_select", False,
+       "[tpu] per-cell keypoint selection via lax.approx_max_k (~0.95 "
+       "recall hardware binned reduction) instead of exact top_k, which "
+       "full-sorts every pyramid level's score map on TPU; exact off-TPU. "
+       "A/B before enabling by default (tools/ab_ate.py)"),
     _p("tpu_edge_info", "scalar",
        "[tpu] visual edge information matrix: scalar (inliers/rmse^2 * I6, "
        "the reference's isotropic weight) | hessian (anisotropic GN pose "

@@ -675,6 +675,7 @@ class GraphManager:
                 grid=p["detector_grid_resolution"] + 1,
                 # 'BRIEF' extractor = un-steered binary tests
                 oriented=family[1] != "BRIEF",
+                approx_select=p["tpu_approx_select"],
             )
         desc_dim = 128 if "Sift" in type(self.extractor).__name__ else 256
         if "Sift" in type(self.extractor).__name__:

@@ -49,6 +49,9 @@ class OrbExtractor:
     # the kernel is now the TPU default (CPU tests run it in interpreter
     # mode only where explicitly exercised; jax.default_backend() gates it).
     use_pallas: bool = True
+    # approx_max_k per-cell keypoint selection (see select_keypoints_grid);
+    # exact off-TPU, ~0.95-recall hardware path on TPU (tpu_approx_select).
+    approx_select: bool = False
 
     def level_shapes(self, H: int, W: int) -> Sequence[tuple]:
         out = []
@@ -93,7 +96,8 @@ class OrbExtractor:
                     img_l, threshold=self.fast_threshold, use_harris=self.use_harris
                 )
             k_l = self.level_budget(l)
-            uv, sc, _ = fast_ops.select_keypoints_grid(score_map, k_l, grid=self.grid)
+            uv, sc, _ = fast_ops.select_keypoints_grid(
+                score_map, k_l, grid=self.grid, approx=self.approx_select)
             # Describe on the LEVEL image (classic ORB: scale-correct patch
             # support), via patch-slice + MXU binned BRIEF — no per-sample
             # gathers (ops/orb.py describe_patches).

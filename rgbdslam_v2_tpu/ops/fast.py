@@ -97,18 +97,28 @@ def select_keypoints_grid(
     max_keypoints: int,
     grid: int = 4,
     per_cell_factor: float = 2.0,
+    approx: bool = False,
 ):
     """Spread keypoints: per-cell top-k, then global top-k (static shapes).
 
     Mirrors the VideoGridAdaptedFeatureDetector capability
     (reference: src/feature_adjuster.cpp:286+). Returns (uv (K, 2) float32
     [x, y], score (K,), valid (K,) bool).
-    """
+
+    approx=True selects the per-cell candidates with lax.approx_max_k:
+    on TPU, exact top_k lowers to a FULL variadic sort of the whole score
+    map (f32+s32, ~770k sorted elements/frame over 4 pyramid levels at
+    VGA) while approx_max_k uses the hardware binned-reduction path at
+    ~0.95 recall — a near-tied corner occasionally swaps for the next-best
+    one, which is immaterial for a threshold-heuristic detector (the
+    reference's adjuster doesn't even keep a deterministic order). Exact
+    on CPU (approx_max_k falls back to top_k off-TPU)."""
     H, W = score_map.shape
     K = max_keypoints
+    topk = jax.lax.approx_max_k if approx else jax.lax.top_k
     if grid <= 1:
         flat = score_map.reshape(-1)
-        val, idx = jax.lax.top_k(flat, K)
+        val, idx = topk(flat, K)
         uv = jnp.stack([(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], -1)
         return uv, val, jnp.isfinite(val)
     # Pad to a multiple of the grid.
@@ -119,7 +129,7 @@ def select_keypoints_grid(
     ch, cw = gh // grid, gw // grid
     cells = pad.reshape(grid, ch, grid, cw).transpose(0, 2, 1, 3).reshape(grid * grid, ch * cw)
     k_cell = min(ch * cw, max(1, int(per_cell_factor * K / (grid * grid))))
-    cval, cidx = jax.lax.top_k(cells, k_cell)  # (G*G, k_cell)
+    cval, cidx = topk(cells, k_cell)  # (G*G, k_cell)
     # Recover absolute coordinates.
     gidx = jnp.arange(grid * grid)
     gy = (gidx // grid)[:, None]

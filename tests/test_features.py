@@ -216,3 +216,25 @@ def test_manager_brief_family_selected():
         tpu_max_edges=32, tpu_candidate_batch=2))
     m2 = GraphManager(cam, params2)  # warns, falls back to ORB
     assert m2.extractor.oriented is True
+
+
+def test_select_keypoints_grid_approx_matches_exact_on_cpu():
+    """tpu_approx_select: approx_max_k falls back to exact selection off-TPU,
+    so the flag is a no-op for CPU tests and only changes the TPU lowering.
+    Distinct scores -> identical keypoint sets (order-insensitive)."""
+    import numpy as np
+
+    from rgbdslam_v2_tpu.ops.fast import select_keypoints_grid
+
+    rng = np.random.default_rng(12)
+    H, W = 64, 96
+    score = np.full((H, W), -np.inf, np.float32)
+    flat = rng.choice(H * W, 200, replace=False)
+    score.reshape(-1)[flat] = rng.permutation(200).astype(
+        np.float32)  # all distinct
+    uv_e, val_e, ok_e = select_keypoints_grid(jnp.asarray(score), 32, grid=4)
+    uv_a, val_a, ok_a = select_keypoints_grid(
+        jnp.asarray(score), 32, grid=4, approx=True)
+    se = {tuple(r) for r in np.asarray(uv_e)[np.asarray(ok_e)].tolist()}
+    sa = {tuple(r) for r in np.asarray(uv_a)[np.asarray(ok_a)].tolist()}
+    assert se == sa

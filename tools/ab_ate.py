@@ -49,6 +49,10 @@ VARIANTS = {
     "hess": dict(tpu_edge_info="hessian"),
     "proj2-hess": dict(g2o_transformation_refinement=2,
                        tpu_edge_info="hessian"),
+    # approx_max_k per-cell keypoint selection (fps + ATE vs exact top_k)
+    "approx": dict(tpu_approx_select=True),
+    "gray5": dict(tpu_gray_bits=5),
+    "gray5-approx": dict(tpu_gray_bits=5, tpu_approx_select=True),
 }
 
 names = sys.argv[1:] or list(VARIANTS)
