@@ -72,10 +72,10 @@ def cmd_run(args):
         pipe.live_dir = out
         pipe.live_interval = args.serve_interval
         httpd = socketserver.TCPServer(
-            ("", args.serve), make_viewer_handler(out, pipe=pipe))
+            (args.host, args.serve), make_viewer_handler(out, pipe=pipe))
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         print(json.dumps({"serving": str(out),
-                          "url": f"http://localhost:{args.serve}/"}),
+                          "url": f"http://{args.host}:{args.serve}/"}),
               file=sys.stderr, flush=True)
     gt_stamps = gt_xyz = None
     bagfile = args.bagfile or params["bagfile_name"]
@@ -140,6 +140,11 @@ def cmd_run(args):
         print("saved result.bag")
     if httpd is not None:
         pipe._live_refresh(force=True)  # final state for the live page
+        # the page polls every 2 s: keep serving long enough for the last
+        # poll + reload to pick up the final generation before shutdown
+        import time as _time
+
+        _time.sleep(3.0)
         httpd.shutdown()
     return 0
 
@@ -366,7 +371,14 @@ def _load_result_dir(root: Path, require_cloud: bool = True):
         points = np.zeros((0, 3), np.float32)
         colors = np.zeros((0, 3), np.uint8)
     traj = edges = None
-    for name in ("estimate_iteration_4.txt", "estimate.txt"):
+    # Prefer the FRESHEST estimate file (mtime): a live run rewrites
+    # estimate.txt while a previous run's estimate_iteration_4.txt may
+    # still sit in a reused out dir; for a finished protocol run the
+    # level-4 file is the newest anyway.
+    cands = [root / n for n in ("estimate_iteration_4.txt", "estimate.txt")]
+    cands = sorted((p for p in cands if p.exists()),
+                   key=lambda p: p.stat().st_mtime_ns, reverse=True)
+    for name in [p.name for p in cands]:
         if (root / name).exists():
             data = read_trajectory_file(root / name)
             n = len(data)
@@ -438,12 +450,15 @@ def make_viewer_handler(root: Path, pipe=None):
     import http.server
 
     def generation() -> int:
+        # nanosecond mtimes: two refreshes inside the same wall-clock
+        # second (e.g. the final forced refresh) must still bump the
+        # generation so the browser's poll sees the change
         gen = 0
         for name in ("cloud.pcd", "estimate.txt", "estimate_iteration_4.txt",
-                     "graph.g2o"):
+                     "graph.g2o", "frame.png"):
             p = root / name
             if p.exists():
-                gen = max(gen, int(p.stat().st_mtime))
+                gen = max(gen, p.stat().st_mtime_ns)
         return gen
 
     class Handler(http.server.BaseHTTPRequestHandler):
@@ -519,10 +534,10 @@ def cmd_serve(args):
     import socketserver
 
     root = Path(args.result_dir)
-    with socketserver.TCPServer(("", args.port),
+    with socketserver.TCPServer((args.host, args.port),
                                 make_viewer_handler(root)) as httpd:
         print(json.dumps({"serving": str(root),
-                          "url": f"http://localhost:{args.port}/"}),
+                          "url": f"http://{args.host}:{args.port}/"}),
               flush=True)
         try:
             httpd.serve_forever()
@@ -584,6 +599,9 @@ def main(argv=None):
     runp.add_argument("--serve-interval", type=int, default=30,
                       metavar="FRAMES",
                       help="frames between live-view output refreshes")
+    runp.add_argument("--host", default="127.0.0.1",
+                      help="bind address for --serve (default localhost; "
+                           "the control endpoints are unauthenticated)")
     runp.set_defaults(fn=cmd_run)
 
     synp = sub.add_parser("synthetic", help="generate a synthetic TUM dataset")
@@ -653,6 +671,8 @@ def main(argv=None):
     servep.add_argument("result_dir",
                         help="result dir to watch (cloud.pcd + estimate*.txt)")
     servep.add_argument("--port", type=int, default=8765)
+    servep.add_argument("--host", default="127.0.0.1",
+                        help="bind address (default localhost)")
     servep.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

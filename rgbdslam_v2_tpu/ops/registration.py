@@ -90,6 +90,14 @@ def _gumbel_topk_sample(key, logits: jnp.ndarray, n_hyp: int, k: int):
     sort), so the sampled sets are unchanged."""
     g = jax.random.gumbel(key, (n_hyp,) + logits.shape) + logits[None, :]
     cols = jnp.arange(logits.shape[0], dtype=jnp.int32)
+    # -inf (invalid) entries become huge-negative FINITE keys descending by
+    # index: masking a picked entry to -inf then excludes it even when every
+    # remaining entry was -inf, so rows with < k finite logits still yield
+    # k DISTINCT indices in ascending index order — exactly top_k's stable
+    # tie-break (argmax alone would return index 0 forever on an all--inf
+    # row, silently sampling WITH replacement).
+    g = jnp.where(jnp.isfinite(g), g,
+                  jnp.float32(-1e30) - cols.astype(jnp.float32) * 1e24)
     idxs = []
     for _ in range(k):
         i = jnp.argmax(g, axis=-1).astype(jnp.int32)

@@ -67,7 +67,12 @@ class SlamPipeline:
         self.live_interval = 30
         self._live_counter = 0
         self._live_save_requested = False
-        self._last_rgb = None  # most recent raw frame (live 2D pane)
+        # live 2D pane state: (raw frame, committed node id | None) — the
+        # node id pins the keypoint overlay to the SAME frame (a dropped
+        # frame or the second frame of a fused pair draws without markers
+        # from some other node)
+        self._last_rgb = None
+        self._live_frame = None
 
     # ------------------------------------------------------------------
     # Interactive run control (the reference's pause / "space" / "enter"
@@ -87,14 +92,17 @@ class SlamPipeline:
         handler thread, which must not touch device state)."""
         self._live_save_requested = True
 
-    def _live_refresh(self, force: bool = False):
+    def _live_refresh(self, force: bool = False, count: int = 1):
         """Refresh live-view outputs (estimate.txt + graph.g2o, plus
         cloud.pcd when requested) into live_dir. Writes are atomic
-        (tmp + os.replace) so the serving thread never reads a torn file."""
+        (tmp + os.replace) so the serving thread never reads a torn file.
+        count: frames represented by this call (2 for a fused pair)."""
         if self.live_dir is None:
             return
-        self._live_counter += 1
-        if not force and self._live_counter % max(1, self.live_interval):
+        before = self._live_counter
+        self._live_counter += count
+        iv = max(1, self.live_interval)
+        if not force and before // iv == self._live_counter // iv:
             return
         import os
 
@@ -116,19 +124,25 @@ class SlamPipeline:
             tmp = out / ".cloud.tmp"
             self.save_clouds(tmp)
             os.replace(tmp, out / "cloud.pcd")
-        if self._last_rgb is not None:
-            # 2D pane: current frame + its committed keypoints (the GUI's
-            # visual/feature image panes, qt_gui.cpp image labels)
+        if self._live_frame is not None:
+            # 2D pane: current frame + ITS committed keypoints (the GUI's
+            # visual/feature image panes, qt_gui.cpp image labels); a frame
+            # with no committed node (dropped) draws without markers
             from ..io.render3d import write_png
             from ..io.visualization import draw_feature_flow
 
-            nid = self.manager.n_nodes - 1
-            uv = np.asarray(self.manager.store.uv[nid])
-            val = np.asarray(self.manager.store.kp_valid[nid])
-            rgb = self._last_rgb
+            rgb, nid = self._live_frame
+            rgb = np.asarray(rgb)
+            if rgb.dtype.kind == "f":
+                rgb = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
             if rgb.ndim == 2:
                 rgb = np.repeat(rgb[..., None], 3, axis=-1)
-            img = draw_feature_flow(rgb, uv, uv, val)
+            if nid is not None:
+                uv = np.asarray(self.manager.store.uv[nid])
+                val = np.asarray(self.manager.store.kp_valid[nid])
+                img = draw_feature_flow(rgb, uv, uv, val)
+            else:
+                img = rgb
             tmp = out / ".frame.tmp.png"  # .png so cv2.imwrite picks a codec
             write_png(tmp, img)
             os.replace(tmp, out / "frame.png")
@@ -150,6 +164,10 @@ class SlamPipeline:
             self.n_dropped += 1
         elif self.params["octomap_online_creation"]:
             self._online_octomap_insert(self.manager.n_nodes - 1)
+        if self.live_dir is not None and self._last_rgb is not None:
+            self._live_frame = (
+                self._last_rgb, self.manager.n_nodes - 1 if took else None
+            )
         self._live_refresh()
         return took
 
@@ -234,8 +252,10 @@ class SlamPipeline:
                     # both paired nodes entered the graph (keep_all fast path)
                     self._online_octomap_insert(self.manager.n_nodes - 2)
                     self._online_octomap_insert(self.manager.n_nodes - 1)
-                self._live_refresh()
-                self._live_refresh()
+                if self.live_dir is not None:
+                    # pane shows frame j, whose node is the last committed
+                    self._live_frame = (rgbs[j], self.manager.n_nodes - 1)
+                self._live_refresh(count=2)
                 k += 2
                 continue
             # anchor the fixed first vertex at the GT of the first frame
@@ -274,6 +294,8 @@ class SlamPipeline:
             for k, (ts, rgb, depth) in enumerate(frames):
                 if k < skip0 or (k - skip0) % step:
                     continue
+                if self.live_dir is not None:
+                    self._last_rgb = rgb  # 2D pane source (live view)
                 yield ts, compact_frame(rgb, depth, stride, fmt=fmt, gray_bits=gb,
                                 depth_bits=db)
                 count += 1

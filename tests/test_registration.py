@@ -197,3 +197,20 @@ def test_gumbel_sample_matches_topk():
     # without replacement: no duplicate index inside a sample
     arr = np.asarray(idx)
     assert all(len(set(row)) == k for row in arr)
+
+
+def test_gumbel_sample_distinct_with_few_finite_logits():
+    """Fewer finite logits than the sample size: the sampler must still
+    return k DISTINCT indices (like top_k over a mostly--inf row), never
+    sample a valid match twice."""
+    from rgbdslam_v2_tpu.ops.registration import _gumbel_topk_sample
+
+    M, H, k = 300, 16, 4
+    logits = jnp.full((M,), -jnp.inf).at[7].set(0.5).at[42].set(0.1)
+    idx = np.asarray(_gumbel_topk_sample(jax.random.PRNGKey(3), logits, H, k))
+    for row in idx:
+        assert len(set(row)) == k, row
+        assert {7, 42} <= set(row)  # finite entries always picked first
+        # the -inf fill picks ascend by index (stable-sort tie-break)
+        fill = [i for i in row if i not in (7, 42)]
+        assert fill == sorted(fill)
