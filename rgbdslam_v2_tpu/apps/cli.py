@@ -378,25 +378,11 @@ def _load_result_dir(root: Path, require_cloud: bool = True):
     cands = [root / n for n in ("estimate_iteration_4.txt", "estimate.txt")]
     cands = sorted((p for p in cands if p.exists()),
                    key=lambda p: p.stat().st_mtime_ns, reverse=True)
-    for name in [p.name for p in cands]:
-        if (root / name).exists():
-            data = read_trajectory_file(root / name)
-            n = len(data)
-            traj = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
-            traj[:, :3, 3] = data[:, 1:4]
-            # numpy quaternion->rotation: keep `view` off the accelerator
-            # (a jitted quat_to_rot would pay a device compile for nothing)
-            x, y, z, w = (data[:, 4 + i] for i in range(4))
-            traj[:, 0, 0] = 1 - 2 * (y * y + z * z)
-            traj[:, 0, 1] = 2 * (x * y - z * w)
-            traj[:, 0, 2] = 2 * (x * z + y * w)
-            traj[:, 1, 0] = 2 * (x * y + z * w)
-            traj[:, 1, 1] = 1 - 2 * (x * x + z * z)
-            traj[:, 1, 2] = 2 * (y * z - x * w)
-            traj[:, 2, 0] = 2 * (x * z - y * w)
-            traj[:, 2, 1] = 2 * (y * z + x * w)
-            traj[:, 2, 2] = 1 - 2 * (x * x + y * y)
-            break
+    if cands:
+        # numpy quaternion->rotation: keeps `view` off the accelerator
+        from ..io.tum import rows_to_poses
+
+        traj = rows_to_poses(read_trajectory_file(cands[0]))
     if (root / "graph.g2o").exists():
         from ..graph.g2o_io import read_g2o
 
@@ -558,6 +544,32 @@ def cmd_ate(args):
     return 0
 
 
+def cmd_rpe(args):
+    """Relative pose error — the TUM benchmark's second metric
+    (rgbd_benchmark evaluate_rpe): drift over a fixed frame delta, both
+    translational [m] and rotational [rad] statistics."""
+    from ..eval import evaluate_rpe
+    from ..io.tum import associate, read_trajectory_file, rows_to_poses
+
+    est = read_trajectory_file(args.estimate)
+    gt = read_trajectory_file(args.groundtruth)
+    pairs = associate(est[:, 0].tolist(), gt[:, 0].tolist(),
+                      max_difference=args.max_difference)
+    if len(pairs) <= args.delta:
+        print("rgbdslam: error: not enough associated pose pairs",
+              file=sys.stderr)
+        return 2
+    pairs.sort()  # chronological (associate returns best-match-first)
+    ei = [i for i, _ in pairs]
+    gi = [j for _, j in pairs]
+    t_err, r_err = evaluate_rpe(rows_to_poses(est[ei]),
+                                rows_to_poses(gt[gi]), delta=args.delta)
+    print(json.dumps({"translational_m": t_err.as_dict(),
+                      "rotational_rad": r_err.as_dict(),
+                      "delta": args.delta, "n_pairs": len(pairs)}, indent=2))
+    return 0
+
+
 def cmd_params(args):
     from ..config.params import PARAM_DEFS
 
@@ -617,6 +629,16 @@ def main(argv=None):
     atep.add_argument("groundtruth")
     atep.add_argument("--max-difference", type=float, default=0.02)
     atep.set_defaults(fn=cmd_ate)
+
+    rpep = sub.add_parser(
+        "rpe", help="relative pose error vs ground truth "
+                    "(the benchmark's evaluate_rpe)")
+    rpep.add_argument("estimate")
+    rpep.add_argument("groundtruth")
+    rpep.add_argument("--delta", type=int, default=1,
+                      help="frame delta for relative motions")
+    rpep.add_argument("--max-difference", type=float, default=0.02)
+    rpep.set_defaults(fn=cmd_rpe)
 
     parp = sub.add_parser("params", help="list parameters")
     parp.set_defaults(fn=cmd_params)

@@ -132,6 +132,26 @@ def read_trajectory_file(path) -> np.ndarray:
     return np.asarray(rows, dtype=np.float64)
 
 
+def rows_to_poses(rows: np.ndarray) -> np.ndarray:
+    """(N, 8) TUM rows [stamp t q(xyzw)] -> (N, 4, 4) pose matrices.
+
+    Pure numpy (no device work) — viewer/eval paths convert whole files."""
+    n = len(rows)
+    T = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    T[:, :3, 3] = rows[:, 1:4]
+    x, y, z, w = (rows[:, 4 + i] for i in range(4))
+    T[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    T[:, 0, 1] = 2 * (x * y - z * w)
+    T[:, 0, 2] = 2 * (x * z + y * w)
+    T[:, 1, 0] = 2 * (x * y + z * w)
+    T[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    T[:, 1, 2] = 2 * (y * z - x * w)
+    T[:, 2, 0] = 2 * (x * z - y * w)
+    T[:, 2, 1] = 2 * (y * z + x * w)
+    T[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return T
+
+
 def write_trajectory(path, stamps: Sequence[float], poses: np.ndarray, comment: str = ""):
     """Write TUM-format trajectory. poses: (N, 4, 4) world_T_cam.
 

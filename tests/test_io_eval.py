@@ -111,3 +111,33 @@ def test_synthetic_tum_roundtrip(tmp_path):
     np.testing.assert_allclose(depth, depths[0], atol=1.0 / 5000.0)
     np.testing.assert_allclose(rgb, rgbs[0])
     assert ds.groundtruth is not None and ds.groundtruth.shape == (3, 8)
+
+
+def test_rpe_cli_roundtrip(tmp_path):
+    """`rgbdslam rpe`: a trajectory with known constant drift per frame vs
+    its ground truth reports that drift as the translational RPE mean."""
+    import json
+    import sys
+
+    from rgbdslam_v2_tpu.apps.cli import main
+    from rgbdslam_v2_tpu.io.tum import write_trajectory
+
+    n = 20
+    stamps = [i / 30.0 for i in range(n)]
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = np.arange(n) * 0.10  # 10 cm/frame along x
+    est = gt.copy()
+    est[:, 0, 3] = np.arange(n) * 0.11  # 1 cm/frame drift
+    write_trajectory(tmp_path / "gt.txt", stamps, gt)
+    write_trajectory(tmp_path / "est.txt", stamps, est)
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["rpe", str(tmp_path / "est.txt"), str(tmp_path / "gt.txt")])
+    assert rc == 0
+    rep = json.loads(buf.getvalue())
+    assert abs(rep["translational_m"]["mean"] - 0.01) < 1e-6
+    assert rep["rotational_rad"]["mean"] < 1e-6
+    assert rep["n_pairs"] == n
