@@ -110,7 +110,8 @@ def test_serve_live_viewer(tmp_path):
     captured["ready"] = threading.Event()
     socketserver.TCPServer = Cap
     try:
-        args = type("A", (), {"result_dir": str(tmp_path), "port": 0})
+        args = type("A", (), {"result_dir": str(tmp_path), "port": 0,
+                              "host": "127.0.0.1"})
         th = threading.Thread(target=cli.cmd_serve, args=(args,), daemon=True)
         th.start()
         assert captured["ready"].wait(5)
