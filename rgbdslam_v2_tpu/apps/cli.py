@@ -410,10 +410,21 @@ def cmd_view(args):
     if args.html is not None:
         from ..io.viewer_html import write_viewer_html
 
+        vox = vox_cols = None
+        vox_res = 0.05
+        if (root / "map.ot").exists():
+            # octomap layer (the GL viewer's renderable-octomap surface)
+            from ..mapping.octree_io import read_color_octree
+
+            vox, probs, vox_cols, vox_res = read_color_octree(
+                root / "map.ot")
+            occ = probs > 0.5
+            vox, vox_cols = vox[occ], vox_cols[occ]
         html_path = args.html or str(root / "viewer.html")
         out_json["html"] = write_viewer_html(
             html_path, points, colors, traj=traj, edges=edges,
-            title=root.name or "rgbdslam map")
+            title=root.name or "rgbdslam map",
+            voxels=vox, voxel_colors=vox_cols, voxel_size=vox_res)
     if args.views > 0:
         w, h = (int(x) for x in args.size.split("x"))
         out = Path(args.out) if args.out else root / "views"

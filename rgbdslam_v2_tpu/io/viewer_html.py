@@ -48,6 +48,8 @@ _HTML = """<!DOCTYPE html>
  <label><input id="tTraj" type="checkbox" checked> trajectory (t)</label>
  <label><input id="tEdges" type="checkbox" checked> graph edges (e)</label>
  <label><input id="tAxes" type="checkbox" checked> pose axes (a)</label>
+ <label id="voxRow" style="display:none"><input id="tVox" type="checkbox">
+  octomap voxels (v)</label>
  <span style="opacity:.6">drag orbit · right-drag pan · wheel zoom ·
  dblclick reset</span>{ctl_html}
 </div>
@@ -69,8 +71,15 @@ const NLINE = lines.length / 6;
 const canvas = document.getElementById("c");
 const gl = canvas.getContext("webgl", {{antialias: true}});
 const VS = `attribute vec3 p; attribute vec3 c; uniform mat4 mvp;
- uniform float ps; varying vec3 vc;
- void main(){{ gl_Position = mvp * vec4(p,1.0); gl_PointSize = ps; vc = c; }}`;
+ uniform float ps; uniform float persp; varying vec3 vc;
+ void main(){{
+   gl_Position = mvp * vec4(p,1.0);
+   // persp > 0: world-sized point (octomap voxel splat) — pixel size is
+   // the projected voxel edge; else a fixed screen-size point
+   gl_PointSize = persp > 0.0
+     ? clamp(persp / max(gl_Position.w, 1e-3), 1.0, 64.0) : ps;
+   vc = c;
+ }}`;
 const FS = `precision mediump float; varying vec3 vc;
  void main(){{ gl_FragColor = vec4(vc, 1.0); }}`;
 function shader(type, src) {{
@@ -87,6 +96,7 @@ const aP = gl.getAttribLocation(prog, "p");
 const aC = gl.getAttribLocation(prog, "c");
 const uMVP = gl.getUniformLocation(prog, "mvp");
 const uPS = gl.getUniformLocation(prog, "ps");
+const uPersp = gl.getUniformLocation(prog, "persp");
 
 function buf(data) {{
   const b = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, b);
@@ -97,6 +107,18 @@ const colF = new Float32Array(NPTS * 3);
 for (let i = 0; i < NPTS * 3; i++) colF[i] = col[i] / 255;
 const bCol = buf(colF);
 const bLines = buf(lines);
+// octomap voxel layer (occupied-leaf centers, world-sized splats)
+const vpos = new Float32Array(B64(DATA.vpos).buffer);
+const NVOX = vpos.length / 3;
+let bVPos = null, bVCol = null;
+if (NVOX > 0) {{
+  bVPos = buf(vpos);
+  const vcol8 = B64(DATA.vcol);
+  const vcolF = new Float32Array(NVOX * 3);
+  for (let i = 0; i < NVOX * 3; i++) vcolF[i] = vcol8[i] / 255;
+  bVCol = buf(vcolF);
+  voxRow.style.display = "block";
+}}
 
 // line index ranges [start, count] per group: 0 traj, 1 edges, 2 axes
 const GROUPS = DATA.groups;
@@ -156,12 +178,24 @@ function draw() {{
   const M = mat();
   gl.uniformMatrix4fv(uMVP, false, M);
   gl.uniform1f(uPS, parseFloat(psize.value) * (window.devicePixelRatio||1));
+  gl.uniform1f(uPersp, 0.0);
   gl.enableVertexAttribArray(aP); gl.enableVertexAttribArray(aC);
   gl.bindBuffer(gl.ARRAY_BUFFER, bPos);
   gl.vertexAttribPointer(aP, 3, gl.FLOAT, false, 0, 0);
   gl.bindBuffer(gl.ARRAY_BUFFER, bCol);
   gl.vertexAttribPointer(aC, 3, gl.FLOAT, false, 0, 0);
   gl.drawArrays(gl.POINTS, 0, NPTS);
+  if (NVOX > 0 && tVox.checked) {{
+    // projected voxel edge in pixels: edge * (H/2) / (tan(fov/2) * w)
+    const t30 = Math.tan(30 * Math.PI / 180);
+    gl.uniform1f(uPersp, DATA.voxel_size * h / (2 * t30));
+    gl.bindBuffer(gl.ARRAY_BUFFER, bVPos);
+    gl.vertexAttribPointer(aP, 3, gl.FLOAT, false, 0, 0);
+    gl.bindBuffer(gl.ARRAY_BUFFER, bVCol);
+    gl.vertexAttribPointer(aC, 3, gl.FLOAT, false, 0, 0);
+    gl.drawArrays(gl.POINTS, 0, NVOX);
+    gl.uniform1f(uPersp, 0.0);
+  }}
   // lines: interleaved xyz rgb
   gl.bindBuffer(gl.ARRAY_BUFFER, bLines);
   gl.vertexAttribPointer(aP, 3, gl.FLOAT, false, 24, 0);
@@ -209,6 +243,7 @@ window.addEventListener("keydown", e => {{
   if (e.key === "t") tTraj.checked = !tTraj.checked;
   if (e.key === "e") tEdges.checked = !tEdges.checked;
   if (e.key === "a") tAxes.checked = !tAxes.checked;
+  if (e.key === "v" && NVOX > 0) tVox.checked = !tVox.checked;
   if (e.key >= "1" && e.key <= "8") psize.value = e.key;
 }});
 {live_js}
@@ -291,6 +326,10 @@ def build_viewer_html(
     live: bool = False,
     controls: bool = False,
     generation: int = 0,
+    voxels: Optional[np.ndarray] = None,  # (V, 3) occupied-leaf centers
+    voxel_colors: Optional[np.ndarray] = None,  # (V, 3) uint8
+    voxel_size: float = 0.05,
+    max_voxels: int = 400_000,
 ) -> str:
     """Build the self-contained interactive viewer HTML (returns the text).
 
@@ -346,12 +385,37 @@ def build_viewer_html(
 
     line_arr = (np.concatenate(segs, 0) if segs
                 else np.zeros((0, 6), np.float32))
-    center = points.mean(0) if len(points) else np.zeros(3)
+    # frame whatever geometry exists: cloud, else voxels, else trajectory
     if len(points):
-        radius = float(np.percentile(
-            np.linalg.norm(points - center, axis=1), 90))
+        frame_pts = points
+    elif voxels is not None and len(np.atleast_2d(voxels)):
+        frame_pts = np.asarray(voxels, np.float32).reshape(-1, 3)
+    elif traj is not None and len(traj):
+        frame_pts = np.asarray(traj)[:, :3, 3].astype(np.float32)
     else:
+        frame_pts = None
+    if frame_pts is not None and len(frame_pts):
+        center = frame_pts.mean(0)
+        radius = float(np.percentile(
+            np.linalg.norm(frame_pts - center, axis=1), 90))
+    else:
+        center = np.zeros(3)
         radius = 1.0
+    if voxels is not None and len(voxels):
+        # octomap layer: occupied-leaf centers drawn as world-sized splats
+        # (the reference's renderableOctomap / ColorOctomapServer::render
+        # voxel cubes, ColorOctomapServer.cpp:187-268)
+        voxels = np.asarray(voxels, np.float32).reshape(-1, 3)
+        if voxel_colors is None:
+            voxel_colors = np.full((len(voxels), 3), 160, np.uint8)
+        voxel_colors = np.asarray(voxel_colors, np.uint8).reshape(-1, 3)
+        if len(voxels) > max_voxels:
+            sel = np.random.default_rng(1).choice(
+                len(voxels), max_voxels, replace=False)
+            voxels, voxel_colors = voxels[sel], voxel_colors[sel]
+    else:
+        voxels = np.zeros((0, 3), np.float32)
+        voxel_colors = np.zeros((0, 3), np.uint8)
     data = {
         "pos": _b64(points),
         "col": _b64(colors),
@@ -360,6 +424,9 @@ def build_viewer_html(
         "center": [float(x) for x in center],
         "radius": max(radius, 1e-3),
         "gen": generation,
+        "vpos": _b64(voxels),
+        "vcol": _b64(voxel_colors),
+        "voxel_size": float(voxel_size),
     }
     live_js = _LIVE_JS if live else ""
     if controls:

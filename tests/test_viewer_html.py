@@ -245,3 +245,56 @@ def test_live_run_serve_controls(tmp_path):
             assert b"DATA" in body and b"frame.png" in body
         finally:
             httpd.shutdown()
+
+
+def test_viewer_octomap_voxel_layer():
+    """The octomap layer: voxel centers/colors embed as a separate buffer
+    with the leaf size, the toggle row exists, and omitting voxels keeps
+    the buffer empty (hidden row)."""
+    pts = np.array([[0, 0, 1]], np.float32)
+    vox = np.array([[0.1, 0.2, 0.9], [0.15, 0.2, 0.9]], np.float32)
+    vcol = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    html = build_viewer_html(pts, voxels=vox, voxel_colors=vcol,
+                             voxel_size=0.05)
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    data = json.loads(m.group(1))
+    got = np.frombuffer(base64.b64decode(data["vpos"]),
+                        np.float32).reshape(-1, 3)
+    np.testing.assert_allclose(got, vox)
+    gcol = np.frombuffer(base64.b64decode(data["vcol"]),
+                         np.uint8).reshape(-1, 3)
+    np.testing.assert_array_equal(gcol, vcol)
+    assert data["voxel_size"] == 0.05
+    assert "tVox" in html and "voxRow" in html
+    # no voxels -> empty buffer
+    html2 = build_viewer_html(pts)
+    m2 = re.search(r"const DATA = (\{.*?\});\n", html2, re.S)
+    assert base64.b64decode(json.loads(m2.group(1))["vpos"]) == b""
+
+
+def test_view_cli_html_includes_octomap(tmp_path):
+    """`rgbdslam view --html` on a result dir with map.ot embeds the
+    occupied voxels."""
+    from contextlib import redirect_stdout
+    import io as _io
+
+    from rgbdslam_v2_tpu.apps.cli import main
+    from rgbdslam_v2_tpu.io.pointcloud import write_pcd
+    from rgbdslam_v2_tpu.mapping.octree_io import write_color_octree
+
+    pts = np.array([[0, 0, 1], [0.1, 0, 1.1]], np.float32)
+    write_pcd(tmp_path / "cloud.pcd", pts, np.full((2, 3), 180, np.uint8))
+    centers = np.array([[0.025, 0.025, 1.025]], np.float64)
+    write_color_octree(tmp_path / "map.ot", centers, np.array([0.9]),
+                       np.array([[10, 200, 30]], np.uint8), 0.05)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["view", str(tmp_path), "--html", "--views", "0"])
+    assert rc == 0
+    html = (tmp_path / "viewer.html").read_text()
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    data = json.loads(m.group(1))
+    got = np.frombuffer(base64.b64decode(data["vpos"]),
+                        np.float32).reshape(-1, 3)
+    assert len(got) == 1
+    np.testing.assert_allclose(got[0], centers[0], atol=0.05)
