@@ -41,28 +41,43 @@ from pathlib import Path
 BASELINE_FPS = 16.6  # reference fr1_desk end-to-end (test/README:106)
 
 
-def wait_for_backend(attempts: int = 10, probe_timeout: float = 120.0):
+def wait_for_backend(attempts: int = None, probe_timeout: float = None):
     """Gate on the device backend actually answering.
 
     The tunnel link to the chip can be transiently down; jax.devices() then
     blocks indefinitely INSIDE this process with no way to cancel it. Probe
     from a killable subprocess (sequential, so the single-jax-process rule
-    holds) and retry for up to ~20 min before giving up with a parseable
-    error line instead of a silent hang."""
+    holds). Real outages run for hours (round 3 lost its official number to
+    a ~20 min gate), so the default rides out ~2 h: 60 probes x (110 s probe
+    + 10 s sleep), one heartbeat line per probe. Override with
+    BENCH_BACKEND_PROBES / BENCH_BACKEND_PROBE_TIMEOUT."""
+    import os
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_BACKEND_PROBES", "60"))
+    if probe_timeout is None:
+        probe_timeout = float(
+            os.environ.get("BENCH_BACKEND_PROBE_TIMEOUT", "110"))
     code = "import jax; jax.devices(); print('ok')"
+    t_start = time.time()
     for i in range(attempts):
+        t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,
                 timeout=probe_timeout, text=True,
             )
             if r.returncode == 0 and "ok" in r.stdout:
+                if i:
+                    print(f"[bench] backend up after {time.time()-t_start:.0f}s"
+                          f" ({i + 1} probes)", file=sys.stderr)
                 return
         except subprocess.TimeoutExpired:
             pass
         print(f"[bench] device backend not answering "
-              f"(probe {i + 1}/{attempts}); retrying", file=sys.stderr)
-        time.sleep(5.0)
+              f"(probe {i + 1}/{attempts}, {time.time()-t_start:.0f}s "
+              f"elapsed); retrying", file=sys.stderr, flush=True)
+        # keep a steady cadence even when the probe fails fast
+        time.sleep(max(0.0, probe_timeout + 10.0 - (time.time() - t0)))
     print(json.dumps({"metric": "slam_fps", "value": None, "unit": "fps",
                       "vs_baseline": None,
                       "error": "device backend unavailable"}))

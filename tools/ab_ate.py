@@ -14,7 +14,7 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import rgbdslam_v2_tpu
 
 rgbdslam_v2_tpu.enable_compilation_cache()
@@ -53,6 +53,9 @@ VARIANTS = {
     "approx": dict(tpu_approx_select=True),
     "gray5": dict(tpu_gray_bits=5),
     "gray5-approx": dict(tpu_gray_bits=5, tpu_approx_select=True),
+    # fused two-frame step (halves dispatches; bit-identical per unit test)
+    "fps2": dict(tpu_frames_per_step=2),
+    "fps2-gray5": dict(tpu_frames_per_step=2, tpu_gray_bits=5),
 }
 
 names = sys.argv[1:] or list(VARIANTS)

@@ -8,7 +8,7 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import rgbdslam_v2_tpu
 
 rgbdslam_v2_tpu.enable_compilation_cache()

@@ -16,7 +16,7 @@ Run ALONE (single-jax-process rule).
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import rgbdslam_v2_tpu
 
 rgbdslam_v2_tpu.enable_compilation_cache()

@@ -15,7 +15,7 @@ Usage: python tools/hlo_attrib.py fusion.833 sort.16 while.131 ...
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import rgbdslam_v2_tpu
 
 rgbdslam_v2_tpu.enable_compilation_cache()

@@ -14,7 +14,7 @@ Usage: python tools/opt_study.py [state_name=yc126] [variant ...]
 import copy
 import sys
 
-sys.path.insert(0, "/root/repo")
+import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -5,7 +5,7 @@ post-run SLAM state (pre-protocol), for offline optimizer studies on CPU
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import rgbdslam_v2_tpu
 
 rgbdslam_v2_tpu.enable_compilation_cache()
