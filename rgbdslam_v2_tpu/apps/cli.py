@@ -85,6 +85,19 @@ def cmd_run(args):
         if ds.groundtruth is not None:
             gt_stamps = ds.groundtruth[:, 0].tolist()
             gt_xyz = ds.groundtruth[:, 1:4]
+    elif getattr(args, "pcd_dir", None):
+        # point-cloud file input (reference loadPCDFiles,
+        # openni_listener.cpp:1063)
+        from ..io.cloud_input import CloudDataset
+
+        pipe.run_clouds(CloudDataset.open(args.pcd_dir, cam),
+                        max_frames=args.max_frames)
+    elif bagfile and params["topic_points"]:
+        # cloud-topic input (reference pcdCallback via topic_points)
+        from ..io.rosbag import read_cloud_frames
+
+        pipe.run_clouds(read_cloud_frames(bagfile, params["topic_points"]),
+                        max_frames=args.max_frames)
     elif bagfile:
         pipe.run_bag(bagfile, max_frames=args.max_frames)
         # Ground truth from /tf only when a child frame is named (real bags
@@ -100,7 +113,7 @@ def cmd_run(args):
             if len(tf_stamps):
                 gt_stamps, gt_xyz = tf_stamps.tolist(), tf_rows[:, :3]
     else:
-        print("error: one of --tum-dir or --bagfile is required",
+        print("error: one of --tum-dir, --pcd-dir or --bagfile is required",
               file=sys.stderr)
         return 2
     if args.evaluate or params["batch_processing"]:
@@ -595,6 +608,9 @@ def main(argv=None):
 
     runp = sub.add_parser("run", help="run SLAM on a TUM directory or ROS bag")
     runp.add_argument("--tum-dir", default=None)
+    runp.add_argument("--pcd-dir", default=None,
+                      help="directory of .pcd/.ply clouds as frame input "
+                      "(reference loadPCDFiles)")
     runp.add_argument("--bagfile", default=None,
                       help="ROS bag playback input (topics via -p "
                            "topic_image_mono/topic_image_depth)")

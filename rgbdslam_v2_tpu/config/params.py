@@ -55,6 +55,10 @@ PARAM_DEFS = [
     _p("bagfile_name", "", "read input from a ROS bag file (playback input)"),
     _p("topic_image_mono", "/camera/rgb/image_color", "bag topic: color image"),
     _p("topic_image_depth", "/camera/depth/image", "bag topic: depth image"),
+    _p("topic_points", "",
+       "bag topic: PointCloud2 input; if set, frames come from clouds "
+       "instead of the image topics (reference parameter_server.cpp:28, "
+       "pcdCallback openni_listener.cpp:536)"),
     _p("skip_first_n_frames", 0, "drop initial frames"),
     _p("cloud_creation_skip_step", 2, "subsample the point grid by this step"),
     _p("maximum_depth", 10.0, "depth clip (m)"),

@@ -36,10 +36,20 @@ def voxel_downsample(points: np.ndarray, colors: np.ndarray, voxel: float):
 
 
 def write_pcd(path, points: np.ndarray, colors: np.ndarray | None = None,
-              binary: bool = True):
-    """Write a PCD v0.7 file (xyz or xyzrgb)."""
+              binary: bool = True, organized_hw: "tuple | None" = None):
+    """Write a PCD v0.7 file (xyz or xyzrgb).
+
+    ``organized_hw=(H, W)`` writes an organized cloud (PCL convention:
+    HEIGHT>1, invalid points carried as NaN rows), the format the
+    reference's cloud-input path consumes (node.cpp:252-369)."""
     points = np.asarray(points, np.float32).reshape(-1, 3)
     n = len(points)
+    if organized_hw is not None:
+        oh, ow = organized_hw
+        if oh * ow != n:
+            raise ValueError(f"organized_hw {organized_hw} != {n} points")
+    else:
+        oh, ow = 1, n
     has_rgb = colors is not None
     fields = "x y z rgb" if has_rgb else "x y z"
     sizes = "4 4 4 4" if has_rgb else "4 4 4"
@@ -52,7 +62,7 @@ def write_pcd(path, points: np.ndarray, colors: np.ndarray | None = None,
         f"SIZE {sizes}\n"
         f"TYPE {types}\n"
         f"COUNT {counts}\n"
-        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
+        f"WIDTH {ow}\nHEIGHT {oh}\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
         f"DATA {'binary' if binary else 'ascii'}\n"
     )
     with open(path, "wb") as f:
@@ -70,8 +80,9 @@ def write_pcd(path, points: np.ndarray, colors: np.ndarray | None = None,
             np.savetxt(f, data, fmt="%.6f")
 
 
-def read_pcd(path):
-    """Minimal PCD reader for round-trip tests (binary xyz[rgb])."""
+def read_pcd(path, return_shape: bool = False):
+    """Minimal PCD reader (binary xyz[rgb]); ``return_shape`` adds the
+    (HEIGHT, WIDTH) organization of the cloud to the return tuple."""
     raw = Path(path).read_bytes()
     end = raw.index(b"DATA")
     header = raw[:end].decode()
@@ -89,6 +100,8 @@ def read_pcd(path):
     if "rgb" in fields:
         rgb = arr[:, 3].view(np.uint32)
         cols = np.stack([(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255], -1).astype(np.uint8)
+    if return_shape:
+        return pts, cols, (int(meta["HEIGHT"]), int(meta["WIDTH"]))
     return pts, cols
 
 

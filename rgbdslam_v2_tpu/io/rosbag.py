@@ -243,6 +243,101 @@ class CameraInfoMsg:
         return CameraInfoMsg(stamp, height, width, K)
 
 
+# sensor_msgs/PointField datatype codes -> numpy dtypes
+_PF_DTYPES = {1: np.int8, 2: np.uint8, 3: np.int16, 4: np.uint16,
+              5: np.int32, 6: np.uint32, 7: np.float32, 8: np.float64}
+
+
+@dataclass
+class PointCloud2Msg:
+    """sensor_msgs/PointCloud2 — the reference's cloud-input transport
+    (pcdCallback, openni_listener.cpp:536; param topic_points)."""
+
+    stamp: float
+    frame_id: str
+    height: int
+    width: int
+    fields: list  # [(name, offset, datatype, count)]
+    point_step: int
+    data: bytes
+
+    def as_cloud(self):
+        """Decode to (points, colors): organized clouds return
+        (H, W, 3) f32 xyz + (H, W, 3) u8 rgb (or None); flat clouds
+        return (N, 3) shapes."""
+        n = self.height * self.width
+        arr = np.frombuffer(self.data, np.uint8, count=n * self.point_step)
+        arr = arr.reshape(n, self.point_step)
+        offs = {name: (off, dt) for name, off, dt, _cnt in self.fields}
+
+        def col(name, dtype):
+            off, _ = offs[name]
+            w = np.dtype(dtype).itemsize
+            return arr[:, off:off + w].copy().view(dtype)[:, 0]
+
+        pts = np.stack([col("x", np.float32), col("y", np.float32),
+                        col("z", np.float32)], axis=-1)
+        cols = None
+        key = "rgb" if "rgb" in offs else ("rgba" if "rgba" in offs else None)
+        if key is not None:
+            # PCL packs rgb into a float32's bits; rgba is a real uint32
+            packed = col(key, np.uint32)
+            cols = np.stack([(packed >> 16) & 255, (packed >> 8) & 255,
+                             packed & 255], axis=-1).astype(np.uint8)
+        if self.height > 1:
+            pts = pts.reshape(self.height, self.width, 3)
+            if cols is not None:
+                cols = cols.reshape(self.height, self.width, 3)
+        return pts, cols
+
+    @staticmethod
+    def decode(raw: bytes) -> "PointCloud2Msg":
+        c = _Cursor(raw)
+        stamp, frame_id = c.header()
+        height, width = c.u32(), c.u32()
+        fields = []
+        for _ in range(c.u32()):
+            name = c.string()
+            off, dt, cnt = c.u32(), c.u8(), c.u32()
+            fields.append((name, off, dt, cnt))
+        c.u8()  # is_bigendian
+        point_step = c.u32()
+        c.u32()  # row_step
+        data = bytes(c.raw(c.u32()))
+        # trailing is_dense u8 ignored
+        return PointCloud2Msg(stamp, frame_id, height, width, fields,
+                              point_step, data)
+
+    @staticmethod
+    def encode(stamp: float, frame_id: str, points: np.ndarray,
+               colors: np.ndarray | None = None) -> bytes:
+        """Serialize an (optionally organized (H,W,3)) xyz[+rgb] cloud."""
+        pts = np.asarray(points, np.float32)
+        organized = pts.ndim == 3
+        h, w = (pts.shape[0], pts.shape[1]) if organized else (1, len(pts))
+        pts = pts.reshape(-1, 3)
+        has_rgb = colors is not None
+        point_step = 16 if has_rgb else 12
+        body = np.zeros((len(pts), point_step), np.uint8)
+        body[:, 0:12] = pts.astype(np.float32).view(np.uint8).reshape(-1, 12)
+        fields = [("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1)]
+        if has_rgb:
+            c3 = np.asarray(colors, np.uint32).reshape(-1, 3)
+            packed = ((c3[:, 0] << 16) | (c3[:, 1] << 8) | c3[:, 2]).astype(
+                np.uint32)
+            body[:, 12:16] = packed.view(np.uint8).reshape(-1, 4)
+            fields.append(("rgb", 12, 7, 1))  # PCL: float32-typed bits
+        out = [_ser_header(stamp, frame_id), _u32.pack(h), _u32.pack(w),
+               _u32.pack(len(fields))]
+        for name, off, dt, cnt in fields:
+            out += [_ser_string(name), _u32.pack(off), bytes([dt]),
+                    _u32.pack(cnt)]
+        data = body.tobytes()
+        out += [b"\x00", _u32.pack(point_step), _u32.pack(point_step * w),
+                _u32.pack(len(data)), data, b"\x01"]
+        return b"".join(out)
+
+
 @dataclass
 class TransformStamped:
     stamp: float
@@ -430,6 +525,23 @@ def read_rgbd_frames(
     for ir, idp in pairs:
         r, d = rgb_msgs[ir], depth_msgs[idp]
         yield r.stamp, r.as_array(), d.as_array()
+
+
+def read_cloud_frames(
+    path, cloud_topic: str,
+) -> Iterator[Tuple[float, np.ndarray, np.ndarray]]:
+    """Yield (stamp, points, colors) from a PointCloud2 topic — the
+    reference's cloud-input feed (param topic_points; pcdCallback,
+    openni_listener.cpp:536). Decoding is deferred to yield time."""
+    topic = cloud_topic.lstrip("/")
+    msgs: List[PointCloud2Msg] = []
+    with BagReader(path) as reader:
+        for t, _datatype, _ts, raw in reader.records():
+            if t.lstrip("/") == topic:
+                msgs.append(PointCloud2Msg.decode(raw))
+    for m in msgs:
+        pts, cols = m.as_cloud()
+        yield m.stamp, pts, cols
 
 
 def read_tf_trajectory(

@@ -309,6 +309,52 @@ class SlamPipeline:
             nxt = next(it, None)  # decode-ahead (the h2d rides the jit call)
             self.process_frame(None, None, ts, compact=cpt)
 
+    def run_clouds(self, source, max_frames: Optional[int] = None) -> None:
+        """Point-cloud input modality (reference: second Node ctor
+        node.cpp:252-369, pcdCallback openni_listener.cpp:536, PCD file
+        loading :1063-1100). ``source`` is an io.cloud_input.CloudDataset
+        or an iterable of (stamp, points, colors); clouds are converted
+        at this boundary to the organized RGB-D grid so the identical
+        compiled per-frame device program runs."""
+        from ..graph.manager import compact_frame
+        from ..io.cloud_input import cloud_to_rgbd
+
+        p = self.params
+        skip0 = p["skip_first_n_frames"]
+        step = max(1, p["data_skip_step"])
+        stride = self.manager.emm_stride
+        fmt = self.manager.ingest_fmt
+        gb = self.manager.gray_bits
+        db = self.manager.depth_bits
+
+        if hasattr(source, "load"):
+            frames = (source.load(i) for i in range(len(source)))
+        else:
+            frames = (
+                (ts,) + cloud_to_rgbd(pts, cols, self.cam)
+                for ts, pts, cols in source
+            )
+
+        def gen():
+            count = 0
+            for k, (ts, rgb, depth) in enumerate(frames):
+                if k < skip0 or (k - skip0) % step:
+                    continue
+                if self.live_dir is not None:
+                    self._last_rgb = rgb
+                yield ts, compact_frame(rgb, depth, stride, fmt=fmt,
+                                        gray_bits=gb, depth_bits=db)
+                count += 1
+                if max_frames and count >= max_frames:
+                    return
+
+        it = gen()
+        nxt = next(it, None)
+        while nxt is not None:
+            ts, cpt = nxt
+            nxt = next(it, None)
+            self.process_frame(None, None, ts, compact=cpt)
+
     def save_bagfile(self, path, include_clouds: bool = False) -> str:
         """Record the optimized result into a bag: /tf trajectory messages
         (world -> camera per node), optionally per-node RGB-D images —
