@@ -80,6 +80,13 @@ PARAM_DEFS = [
        "effective stride 16 at cloud_creation_skip_step=2)"),
     _p("use_icp", False, "GICP refinement fallback"),
     _p("icp_max_iterations", 20, "GICP Gauss-Newton rounds"),
+    _p("icp_variant", "gicp",
+       "dense rescue algorithm: 'gicp' = plane-to-plane Generalized ICP with "
+       "per-point disk covariances and Mahalanobis GN (the algorithm the "
+       "reference ships, external/gicp/gicp.h:85 AlignScan, node.cpp:396-425)"
+       "; 'point_to_plane' = point-to-plane ICP (its PCL-ICP alternative, "
+       "icp.cpp:47-89). [A/B tests/test_icp.py::test_gicp_vs_point_to_plane_"
+       "rescue: gicp matches or beats p2p on corner + low-texture rescues]"),
     _p("g2o_transformation_refinement", 0,
        "projective pose+landmark GN rounds over (u,v,depth) residuals after "
        "RANSAC (0=off; transformation_estimation.cpp:37-170 equivalent)"),

@@ -482,21 +482,26 @@ def _commit_node(
 
 
 def _icp_rescue_body(
-    T0, new_depth_small, cand_depth, cam_small, iterations, emm_skip, sigma_depth
+    T0, new_depth_small, cand_depth, cam_small, iterations, emm_skip,
+    sigma_depth, variant="gicp",
 ):
     """Dense ICP refinement + bidirectional EMM gate.
 
     The reference's GICP/ICP fallback validates its result with the same
-    observation likelihood as visual edges (node.cpp:1381-1413)."""
+    observation likelihood as visual edges (node.cpp:1381-1413). variant
+    selects plane-to-plane GICP (the algorithm the reference ships,
+    external/gicp/gicp.h:85) or point-to-plane ICP (its PCL-ICP alternative,
+    icp.cpp:47-89)."""
     from ..core.camera import backproject_grid
     from ..ops.emm import observation_likelihood
-    from ..ops.icp import icp_point_to_plane
+    from ..ops.icp import icp_plane_to_plane, icp_point_to_plane
 
     new_pts = backproject_grid(new_depth_small, cam_small)
     cand_pts = backproject_grid(cand_depth, cam_small)
     nv = new_depth_small > 0
     cv = cand_depth > 0
-    res = icp_point_to_plane(
+    icp_fn = icp_plane_to_plane if variant == "gicp" else icp_point_to_plane
+    res = icp_fn(
         T0, new_pts, nv, cand_pts, cv, iterations=iterations
     )
     a = observation_likelihood(
@@ -516,13 +521,17 @@ def _icp_rescue_body(
 
 _icp_rescue_kernel = functools.partial(
     jax.jit,
-    static_argnames=("cam_small", "iterations", "emm_skip", "sigma_depth"),
+    static_argnames=(
+        "cam_small", "iterations", "emm_skip", "sigma_depth", "variant"
+    ),
 )(_icp_rescue_body)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam_small", "iterations", "emm_skip", "sigma_depth"),
+    static_argnames=(
+        "cam_small", "iterations", "emm_skip", "sigma_depth", "variant"
+    ),
 )
 def _icp_rescue_batch_kernel(
     T0s,  # (B, 4, 4) seeds
@@ -532,6 +541,7 @@ def _icp_rescue_batch_kernel(
     iterations,
     emm_skip,
     sigma_depth,
+    variant="gicp",
 ):
     """ICP-rescue ALL failed candidates in ONE vmapped dispatch — the
     reference runs its ICP fallback per matchNodePair, i.e. for loop
@@ -539,7 +549,7 @@ def _icp_rescue_batch_kernel(
     return jax.vmap(
         lambda T0, cd: _icp_rescue_body(
             T0, new_depth_small, cd, cam_small, iterations, emm_skip,
-            sigma_depth,
+            sigma_depth, variant,
         )
     )(T0s, cand_depths)
 
@@ -1967,6 +1977,7 @@ class GraphManager:
             int(p["icp_max_iterations"]),
             p["emm_skip_step"],
             p["sigma_depth"],
+            str(p["icp_variant"]),
         )
         T, rmse, n_pairs, conv, q, frac = [np.asarray(x) for x in jax.device_get(out)]
         if not bool(conv):
@@ -2017,6 +2028,7 @@ class GraphManager:
             int(p["icp_max_iterations"]),
             p["emm_skip_step"],
             p["sigma_depth"],
+            str(p["icp_variant"]),
         )
         T, rmse, n_pairs, conv, q, frac = [
             np.asarray(x) for x in jax.device_get(out)

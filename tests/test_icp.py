@@ -5,7 +5,12 @@ from rgbdslam_v2_tpu.core import se3
 from rgbdslam_v2_tpu.core.camera import Intrinsics
 from rgbdslam_v2_tpu.core.frames import make_frame
 from rgbdslam_v2_tpu.io import SyntheticWorld
-from rgbdslam_v2_tpu.ops.icp import grid_normals, icp_point_to_plane
+from rgbdslam_v2_tpu.ops.icp import (
+    _inv3x3_sym,
+    grid_normals,
+    icp_plane_to_plane,
+    icp_point_to_plane,
+)
 
 import pytest
 
@@ -83,6 +88,62 @@ def test_icp_stays_put_at_truth():
     err = float(se3.translation_norm(se3.relative(jnp.asarray(a_T_b), res.transform)))
     assert err < 5e-3
     assert float(res.rmse) < 0.01
+
+
+def test_inv3x3_sym_matches_linalg():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(32, 3, 3)).astype(np.float32)
+    C = A @ np.transpose(A, (0, 2, 1)) + 0.5 * np.eye(3, dtype=np.float32)
+    got = np.asarray(_inv3x3_sym(jnp.asarray(C)))
+    want = np.linalg.inv(C)
+    assert np.abs(got - want).max() < 1e-3
+
+
+def test_gicp_refines_perturbed_transform():
+    """Plane-to-plane GICP (the reference's actual ICP fallback algorithm,
+    external/gicp/gicp.h:85) recovers a ~3 cm / 2 deg perturbation on a
+    corner view at least as well as point-to-plane."""
+    fa, fb, a_T_b = _two_frames(corner=True)
+    pert = se3.exp_se3(jnp.asarray([0.02, -0.015, 0.02, 0.015, -0.02, 0.01], jnp.float32))
+    T0 = jnp.asarray(a_T_b) @ pert
+    res = icp_plane_to_plane(
+        T0, fb.points, fb.valid, fa.points, fa.valid, iterations=15
+    )
+    assert bool(res.converged)
+    err0 = float(se3.translation_norm(se3.relative(jnp.asarray(a_T_b), T0)))
+    err1 = float(se3.translation_norm(se3.relative(jnp.asarray(a_T_b), res.transform)))
+    assert err1 < err0 * 0.5
+    assert err1 < 0.012
+    rot_err = float(se3.rotation_angle(se3.relative(jnp.asarray(a_T_b), res.transform)))
+    assert rot_err < 0.01
+
+
+def test_gicp_stays_put_at_truth():
+    fa, fb, a_T_b = _two_frames()
+    res = icp_plane_to_plane(
+        jnp.asarray(a_T_b), fb.points, fb.valid, fa.points, fa.valid, iterations=5
+    )
+    err = float(se3.translation_norm(se3.relative(jnp.asarray(a_T_b), res.transform)))
+    assert err < 5e-3
+
+
+def test_gicp_vs_point_to_plane_rescue():
+    """The A/B that decides the icp_variant default (VERDICT r3 #7): on the
+    corner-view rescue geometry, plane-to-plane GICP must win or tie
+    point-to-plane (within 25% or 2 mm)."""
+    fa, fb, a_T_b = _two_frames(corner=True)
+    pert = se3.exp_se3(jnp.asarray([0.02, -0.015, 0.02, 0.015, -0.02, 0.01], jnp.float32))
+    T0 = jnp.asarray(a_T_b) @ pert
+    errs = {}
+    for name, fn in (("gicp", icp_plane_to_plane),
+                     ("p2p", icp_point_to_plane)):
+        res = fn(T0, fb.points, fb.valid, fa.points, fa.valid, iterations=15)
+        errs[name] = float(
+            se3.translation_norm(se3.relative(jnp.asarray(a_T_b), res.transform))
+        )
+    print(f"[A/B] rescue translation error: gicp {errs['gicp']*1000:.2f} mm, "
+          f"p2p {errs['p2p']*1000:.2f} mm")
+    assert errs["gicp"] < max(errs["p2p"] * 1.25, errs["p2p"] + 0.002)
 
 
 def test_timing_utils():
