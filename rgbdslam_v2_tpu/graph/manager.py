@@ -670,11 +670,11 @@ class GraphManager:
                 use_root_sift=p["squareroot_descriptor_space"],
             )
         else:
-            known = ("ORB", "FAST", "BRIEF")
+            known = ("ORB", "FAST", "BRIEF", "BRISK")
             for f in family:
                 if f not in known:
                     # the reference warns + falls back to ORB for unbuilt
-                    # families (SURF/BRISK/FREAK; features.cpp:144-160)
+                    # families (SURF/FREAK; features.cpp:144-160)
                     logger.warning(
                         "feature family %s not built; falling back to ORB "
                         "(reference behavior, features.cpp:144-160)", f
@@ -683,11 +683,17 @@ class GraphManager:
                 max_keypoints=self.k_cap,
                 fast_threshold=0.06,
                 grid=p["detector_grid_resolution"] + 1,
-                # 'BRIEF' extractor = un-steered binary tests
+                # 'BRIEF' extractor = un-steered binary tests; 'BRISK' =
+                # smoothed ring pairs (features.cpp:135-160, ops/brisk.py)
                 oriented=family[1] != "BRIEF",
+                descriptor="brisk" if family[1] == "BRISK" else "brief",
                 approx_select=p["tpu_approx_select"],
             )
-        desc_dim = 128 if "Sift" in type(self.extractor).__name__ else 256
+        desc_dim = (
+            128
+            if "Sift" in type(self.extractor).__name__
+            else getattr(self.extractor, "desc_bits", 256)
+        )
         if "Sift" in type(self.extractor).__name__:
             desc_dtype = jnp.float32
         else:

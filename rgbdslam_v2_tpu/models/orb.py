@@ -42,6 +42,10 @@ class OrbExtractor:
     # extractor family, features.cpp:115-161): no rotation invariance,
     # cheaper matching for small-rotation rigs.
     oriented: bool = True
+    # descriptor family: 'brief' (steered BRIEF, 256 bits — ORB's) or
+    # 'brisk' (smoothed concentric-ring pairs, 512 bits — the reference's
+    # BRISK extractor, features.cpp:135-160; see ops/brisk.py).
+    descriptor: str = "brief"
     # Fused Pallas detect kernel (FAST+Harris+NMS in one VMEM pass): exact
     # match to the XLA path. Once description moved to the gather-free
     # patch/matmul form the old custom-call fusion penalty disappeared —
@@ -52,6 +56,12 @@ class OrbExtractor:
     # approx_max_k per-cell keypoint selection (see select_keypoints_grid);
     # exact off-TPU, ~0.95-recall hardware path on TPU (tpu_approx_select).
     approx_select: bool = False
+
+    @property
+    def desc_bits(self) -> int:
+        from ..ops import brisk as brisk_ops
+
+        return brisk_ops.BRISK_BITS if self.descriptor == "brisk" else 256
 
     def level_shapes(self, H: int, W: int) -> Sequence[tuple]:
         out = []
@@ -99,11 +109,23 @@ class OrbExtractor:
             uv, sc, _ = fast_ops.select_keypoints_grid(
                 score_map, k_l, grid=self.grid, approx=self.approx_select)
             # Describe on the LEVEL image (classic ORB: scale-correct patch
-            # support), via patch-slice + MXU binned BRIEF — no per-sample
-            # gathers (ops/orb.py describe_patches).
-            blur_l = orb_ops.gaussian_blur(img_l, 2.0)
-            patches = orb_ops.extract_patches(blur_l, uv)
-            theta_l, desc_l = orb_ops.describe_patches(patches, self.oriented)
+            # support), via patch-slice + MXU binned tests — no per-sample
+            # gathers (ops/orb.py describe_patches / ops/brisk.py).
+            if self.descriptor == "brisk":
+                from ..ops import brisk as brisk_ops
+
+                # BRISK smooths via its per-ring Gaussian footprints: feed
+                # RAW level patches, not pre-blurred ones.
+                patches = orb_ops.extract_patches(img_l, uv)
+                theta_l, desc_l = brisk_ops.describe_patches_brisk(
+                    patches, self.oriented
+                )
+            else:
+                blur_l = orb_ops.gaussian_blur(img_l, 2.0)
+                patches = orb_ops.extract_patches(blur_l, uv)
+                theta_l, desc_l = orb_ops.describe_patches(
+                    patches, self.oriented
+                )
             scale = self.scale_factor**l
             all_uv.append(uv * scale)
             all_score.append(sc)

@@ -200,6 +200,75 @@ def test_brief_family_unrotated():
     assert ham_orb.mean() < ham_brief.mean() - 10
 
 
+def test_brisk_descriptor_properties():
+    """BRISK family (features.cpp:135-160; ops/brisk.py): 512-bit ±1
+    descriptors, stable under translation, distinct across keypoints, and
+    rotation-steered like ORB (90-degree rotation survives when oriented)."""
+    from rgbdslam_v2_tpu.ops import brisk as brisk_ops
+
+    img = _block_texture(seed=6)
+    sm_uv = jnp.asarray([[100.0, 100.0], [150.0, 80.0], [200.0, 160.0],
+                         [60.0, 60.0]])
+    patches = orb_ops.extract_patches(img, sm_uv)
+    theta, d1 = brisk_ops.describe_patches_brisk(patches)
+    assert d1.shape == (4, 512) and d1.dtype == jnp.int8
+    assert set(np.unique(np.asarray(d1)).tolist()) <= {-1, 1}
+
+    # translation: same world points on a shifted image -> low Hamming on
+    # the diagonal, far off-diagonal
+    shifted = jnp.roll(img, (5, 9), axis=(0, 1))
+    p2 = orb_ops.extract_patches(shifted, sm_uv + jnp.asarray([[9.0, 5.0]]))
+    _, d2 = brisk_ops.describe_patches_brisk(p2)
+    ham = np.asarray(matching.descriptor_distances(d1, d2))
+    diag = np.diag(ham)
+    off = ham + np.eye(4) * 1e9
+    assert (diag < 50).all()
+    assert (off.min(1) > diag + 20).all()
+
+    # 90-degree rotation about each keypoint: oriented BRISK keeps distances
+    # well below the unoriented variant (the steering works)
+    H, W = img.shape
+    rot = jnp.rot90(img)
+    uv_rot = jnp.stack([sm_uv[:, 1], (W - 1) - sm_uv[:, 0]], axis=-1)
+    pr = orb_ops.extract_patches(rot, uv_rot)
+    _, dr_o = brisk_ops.describe_patches_brisk(pr, oriented=True)
+    _, d1_u = brisk_ops.describe_patches_brisk(patches, oriented=False)
+    _, dr_u = brisk_ops.describe_patches_brisk(pr, oriented=False)
+    ham_o = np.diag(np.asarray(matching.descriptor_distances(d1, dr_o)))
+    ham_u = np.diag(np.asarray(matching.descriptor_distances(d1_u, dr_u)))
+    assert ham_o.mean() < ham_u.mean() - 20
+
+
+def test_brisk_extractor_end_to_end():
+    """OrbExtractor(descriptor='brisk') produces valid 512-bit keypoints."""
+    rng = np.random.default_rng(3)
+    img = _block_texture(seed=3)
+    depth = jnp.asarray(
+        rng.uniform(0.5, 3.0, (240, 320)).astype(np.float32))
+    ex = OrbExtractor(max_keypoints=128, descriptor="brisk")
+    assert ex.desc_bits == 512
+    kp = ex(img, min_depth_map(depth, depth > 0), CAM)
+    assert kp.desc.shape == (128, 512)
+    k = np.asarray(kp.valid)
+    assert k.sum() > 64
+    d = np.asarray(kp.desc)[k]
+    assert len(np.unique(d, axis=0)) > 0.9 * k.sum()
+
+
+def test_manager_brisk_family_selected():
+    from rgbdslam_v2_tpu.config import ParameterServer
+    from rgbdslam_v2_tpu.graph.manager import GraphManager
+
+    cam = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+                     width=160, height=120)
+    params = ParameterServer(dict(
+        feature_extractor_type="BRISK", max_keypoints=64, tpu_max_nodes=4,
+        tpu_max_edges=32, tpu_candidate_batch=2))
+    m = GraphManager(cam, params)
+    assert m.extractor.descriptor == "brisk"
+    assert m.store.desc.shape[-1] == 512
+
+
 def test_manager_brief_family_selected():
     from rgbdslam_v2_tpu.config import ParameterServer
     from rgbdslam_v2_tpu.graph.manager import GraphManager

@@ -56,6 +56,25 @@ def test_sequential_slam_low_ate(synthetic_seq):
     assert stats["edges"] >= stats["nodes"] - 2
 
 
+def test_brisk_family_ate_within_2x_of_orb(synthetic_seq):
+    """feature_extractor_type=BRISK end to end (VERDICT r3 #8 done-when):
+    ATE within 2x of ORB on the same sequence."""
+    poses, rgbs, depths, stamps = synthetic_seq
+    ates = {}
+    for fam in ("ORB", "BRISK"):
+        pipe = SlamPipeline(CAM, _params(feature_extractor_type=fam))
+        pipe.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+        assert pipe.manager.n_nodes >= N_FRAMES - 3, fam
+        est_stamps, est_poses = pipe.manager.trajectory()
+        res = evaluate_ate(
+            est_stamps, est_poses[:, :3, 3], list(stamps), poses[:, :3, 3]
+        )
+        ates[fam] = res.rmse
+    print(f"[A/B] ATE ORB {ates['ORB']:.4f} m vs BRISK {ates['BRISK']:.4f} m")
+    assert ates["BRISK"] < 0.05
+    assert ates["BRISK"] < max(2.0 * ates["ORB"], ates["ORB"] + 0.005)
+
+
 def test_evaluation_protocol_improves_or_holds(tmp_path, synthetic_seq):
     poses, rgbs, depths, stamps = synthetic_seq
     pipe = SlamPipeline(CAM, _params())
