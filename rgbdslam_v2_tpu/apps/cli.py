@@ -504,8 +504,9 @@ def make_viewer_handler(root: Path, pipe=None):
                 self._send(body, "text/html; charset=utf-8")
             elif self.path.endswith("/gen"):
                 self._send(str(generation()).encode(), "text/plain")
-            elif self.path.split("?")[0].endswith("/frame.png"):
-                p = root / "frame.png"
+            elif self.path.split("?")[0].endswith(("/frame.png",
+                                                   "/depth.png")):
+                p = root / self.path.split("?")[0].rsplit("/", 1)[1]
                 if p.exists():
                     self._send(p.read_bytes(), "image/png")
                 else:
@@ -517,7 +518,7 @@ def make_viewer_handler(root: Path, pipe=None):
             if pipe is None or not self.path.startswith("/ctl/"):
                 self.send_error(409 if pipe is None else 404)
                 return
-            action = self.path[len("/ctl/"):].rstrip("/")
+            action = self.path[len("/ctl/"):].split("?")[0].rstrip("/")
             if action == "pause":
                 paused = pipe.toggle_pause()
                 msg = "paused" if paused else "running"
@@ -527,6 +528,23 @@ def make_viewer_handler(root: Path, pipe=None):
             elif action == "save":
                 pipe.request_live_save()
                 msg = "cloud save queued"
+            elif action == "param":
+                # live parameter editing (the reference GUI's setParam
+                # dialog + reload_config service, qt_gui.cpp:406-478,
+                # ros_service_ui.cpp:67): /ctl/param?name=k&value=v
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                name = (q.get("name") or [""])[0]
+                if not name or "value" not in q:
+                    self.send_error(400, "need name= and value=")
+                    return
+                try:
+                    val = pipe.set_param(name, q["value"][0])
+                except KeyError:
+                    self.send_error(400, f"unknown parameter {name}")
+                    return
+                msg = f"{name}={val}"
             else:
                 self.send_error(404)
                 return

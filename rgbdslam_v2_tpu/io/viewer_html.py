@@ -263,14 +263,20 @@ async function poll() {
   setTimeout(poll, 2000);
 }
 setTimeout(poll, 2000);
-// 2D pane: the run's current frame + its keypoints (the GUI's image
-// panes); hidden until the first frame.png exists
+// 2D panes: the run's current frame + its keypoints, and the depth image
+// (the GUI's visual/depth image panes); each hidden until its png exists
 const pane = document.createElement("img");
 pane.style.cssText = "position:fixed;right:8px;bottom:8px;max-width:32%;" +
   "border:1px solid #333;border-radius:4px;display:none";
 pane.onload = () => { pane.style.display = "block"; };
 pane.src = "frame.png?g=" + DATA.gen;
 document.body.appendChild(pane);
+const dpane = document.createElement("img");
+dpane.style.cssText = "position:fixed;left:8px;bottom:8px;max-width:24%;" +
+  "border:1px solid #333;border-radius:4px;display:none";
+dpane.onload = () => { dpane.style.display = "block"; };
+dpane.src = "depth.png?g=" + DATA.gen;
+document.body.appendChild(dpane);
 """
 
 # run controls (only when the server has a live pipeline attached): the
@@ -281,6 +287,11 @@ _CTL_HTML = """
   <button id="bStep">step</button>
   <button id="bSave">save cloud</button>
   <span id="ctlMsg" style="opacity:.7"></span>
+ </div>
+ <div style="margin-top:4px">
+  <input id="pName" placeholder="param" size="20" style="font-size:11px">
+  <input id="pValue" placeholder="value" size="8" style="font-size:11px">
+  <button id="bParam">set</button>
  </div>
 """
 
@@ -297,6 +308,9 @@ async function ctl(action, btn) {
 bPause.onclick = () => ctl("pause", bPause);
 bStep.onclick = () => ctl("step", bStep);
 bSave.onclick = () => ctl("save", bSave);
+bParam.onclick = () => ctl("param?name=" + encodeURIComponent(pName.value) +
+                           "&value=" + encodeURIComponent(pValue.value),
+                           bParam);
 """
 
 

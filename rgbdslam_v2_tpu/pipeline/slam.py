@@ -92,6 +92,20 @@ class SlamPipeline:
         handler thread, which must not touch device state)."""
         self._live_save_requested = True
 
+    def set_param(self, name: str, value):
+        """Set a parameter during a live run (the GUI's setParam dialog +
+        reload_config service: qt_gui.cpp:406-478, ros_service_ui.cpp:67).
+
+        The assignment is a single dict write (atomic under the GIL); the
+        run loop re-reads parameters each frame, so host-side params
+        (thresholds, skip steps, motion gates) take effect on the next
+        frame. Params baked into the device program as static config
+        (GraphManager._step_cfg) also apply, at the cost of a one-off
+        recompile of the fast path — the same caveat the reference's GUI
+        dialog carries for mid-run changes. Raises KeyError on unknown
+        names. Returns the coerced value."""
+        return self.params.set(name, value)
+
     def _live_refresh(self, force: bool = False, count: int = 1):
         """Refresh live-view outputs (estimate.txt + graph.g2o, plus
         cloud.pcd when requested) into live_dir. Writes are atomic
@@ -131,7 +145,20 @@ class SlamPipeline:
             from ..io.render3d import write_png
             from ..io.visualization import draw_feature_flow
 
-            rgb, nid = self._live_frame
+            rgb, depth, nid = self._live_frame
+            if depth is not None:
+                # depth pane (the GUI's depth image label; the reference
+                # shows depthToCV8UC1 mono, misc.cpp:414): normalized gray,
+                # invalid pixels black
+                d = np.asarray(depth, np.float32)
+                ok = np.isfinite(d) & (d > 0)
+                lo = float(self.params["minimum_depth"])
+                hi = float(self.params["maximum_depth"])
+                g = np.clip((d - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+                img_d = np.where(ok, (g * 255.0), 0.0).astype(np.uint8)
+                tmp = out / ".depth.tmp.png"
+                write_png(tmp, np.repeat(img_d[..., None], 3, axis=-1))
+                os.replace(tmp, out / "depth.png")
             rgb = np.asarray(rgb)
             if rgb.dtype.kind == "f":
                 rgb = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
@@ -166,7 +193,8 @@ class SlamPipeline:
             self._online_octomap_insert(self.manager.n_nodes - 1)
         if self.live_dir is not None and self._last_rgb is not None:
             self._live_frame = (
-                self._last_rgb, self.manager.n_nodes - 1 if took else None
+                self._last_rgb, depth,
+                self.manager.n_nodes - 1 if took else None,
             )
         self._live_refresh()
         return took
@@ -254,7 +282,9 @@ class SlamPipeline:
                     self._online_octomap_insert(self.manager.n_nodes - 1)
                 if self.live_dir is not None:
                     # pane shows frame j, whose node is the last committed
-                    self._live_frame = (rgbs[j], self.manager.n_nodes - 1)
+                    self._live_frame = (
+                        rgbs[j], depths[j], self.manager.n_nodes - 1
+                    )
                 self._live_refresh(count=2)
                 k += 2
                 continue

@@ -234,15 +234,90 @@ def test_live_run_serve_controls(tmp_path):
             assert (tmp_path / "graph.g2o").exists()
             assert (tmp_path / "cloud.pcd").exists()  # the queued save
             assert not pipe._live_save_requested
-            # 2D pane: current frame + keypoints served as PNG
+            # 2D panes: current frame + keypoints AND the depth image
+            # (the GUI's visual/depth image labels) served as PNGs
             assert (tmp_path / "frame.png").exists()
-            png = urllib.request.urlopen(f"{url}/frame.png?g=1",
-                                         timeout=10).read()
-            assert png[:8] == b"\x89PNG\r\n\x1a\n"
-            # the served page now carries data + control buttons + pane
+            assert (tmp_path / "depth.png").exists()
+            for name in ("frame.png", "depth.png"):
+                png = urllib.request.urlopen(f"{url}/{name}?g=1",
+                                             timeout=10).read()
+                assert png[:8] == b"\x89PNG\r\n\x1a\n", name
+            # the served page now carries data + control buttons + panes
             body = urllib.request.urlopen(f"{url}/", timeout=10).read()
             assert b"bPause" in body and b"ctl(" in body
             assert b"DATA" in body and b"frame.png" in body
+            assert b"depth.png" in body and b"bParam" in body
+        finally:
+            httpd.shutdown()
+
+
+def test_live_param_endpoint_changes_acceptance(tmp_path):
+    """/ctl/param (the GUI's setParam + reload_config service,
+    qt_gui.cpp:406-478, ros_service_ui.cpp:67): raising
+    observability_threshold mid-run flips subsequent frames from accepted
+    visual edges to EMM-rejected const-position fallbacks, live."""
+    import json as _json
+    import socketserver
+    import threading
+    import urllib.request
+
+    from rgbdslam_v2_tpu.apps.cli import make_viewer_handler
+    from rgbdslam_v2_tpu.config import ParameterServer
+    from rgbdslam_v2_tpu.core.camera import Intrinsics
+    from rgbdslam_v2_tpu.graph.manager import EDGE_CONST_POSITION
+    from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
+    from rgbdslam_v2_tpu.pipeline import SlamPipeline
+
+    cam = Intrinsics(fx=65.0, fy=65.0, cx=40.0, cy=30.0, width=80, height=60)
+    world = SyntheticWorld.create(seed=0, texture_size=128, cam=cam)
+    poses, rgbs, depths = render_sequence(world, 6, seed=1)
+    params = ParameterServer(dict(
+        max_keypoints=64, tpu_max_nodes=16, tpu_max_edges=64,
+        tpu_candidate_batch=2, ransac_iterations=32, min_matches=8,
+        keep_all_nodes=True, observability_threshold=0.5,
+    ))
+    pipe = SlamPipeline(cam, params)
+    with socketserver.TCPServer(
+        ("127.0.0.1", 0), make_viewer_handler(tmp_path, pipe=pipe)
+    ) as httpd:
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{port}"
+            for i in range(3):
+                pipe.process_frame(rgbs[i], depths[i], i / 30.0,
+                                   gt_pose=poses[0] if i == 0 else None)
+            assert pipe.manager.n_nodes == 3
+            pipe.manager._drain_pending()  # decisions are drained lazily
+            assert any(d.accepted for d in pipe.manager.last_decisions)
+            # unknown params are rejected
+            req = urllib.request.Request(
+                f"{url}/ctl/param?name=bogus&value=1", method="POST")
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            # raise the EMM bar to an unsatisfiable level (quality <= 1.0
+            # always, and noise-free synthetic frames reach exactly 1.0)
+            req = urllib.request.Request(
+                f"{url}/ctl/param?name=observability_threshold&value=1.0",
+                method="POST")
+            out = _json.loads(urllib.request.urlopen(req, timeout=10).read())
+            assert out["status"] == "observability_threshold=1.0"
+            assert pipe.params["observability_threshold"] == 1.0
+            pipe.process_frame(rgbs[3], depths[3], 3 / 30.0)
+            pipe.manager._drain_pending()
+            assert not any(d.accepted for d in pipe.manager.last_decisions)
+            # keep_all_nodes: the rejected frame enters via the fallback edge
+            last = pipe.manager.n_nodes - 1
+            types = [
+                t for t, pair, act in zip(pipe.manager.edge_types,
+                                          pipe.manager.edge_pairs,
+                                          pipe.manager.edge_active_host)
+                if pair is not None and pair[1] == last and act
+            ]
+            assert types == [EDGE_CONST_POSITION]
         finally:
             httpd.shutdown()
 
