@@ -92,6 +92,20 @@ def cmd_run(args):
 
         pipe.run_clouds(CloudDataset.open(args.pcd_dir, cam),
                         max_frames=args.max_frames)
+    elif getattr(args, "stereo_dir", None):
+        # stereo input (reference stereoCallback,
+        # openni_listener.cpp:559-598; disparity front-end on device)
+        from ..io.stereo_input import StereoDataset
+
+        sds = StereoDataset.open(args.stereo_dir)
+        pipe.run_stereo(sds, max_frames=args.max_frames)
+        gt_file = Path(args.stereo_dir) / "groundtruth.txt"
+        if gt_file.exists():
+            from ..io.tum import read_trajectory_file
+
+            gt = read_trajectory_file(gt_file)
+            gt_stamps = gt[:, 0].tolist()
+            gt_xyz = gt[:, 1:4]
     elif bagfile and params["topic_points"]:
         # cloud-topic input (reference pcdCallback via topic_points)
         from ..io.rosbag import read_cloud_frames
@@ -113,8 +127,8 @@ def cmd_run(args):
             if len(tf_stamps):
                 gt_stamps, gt_xyz = tf_stamps.tolist(), tf_rows[:, :3]
     else:
-        print("error: one of --tum-dir, --pcd-dir or --bagfile is required",
-              file=sys.stderr)
+        print("error: one of --tum-dir, --pcd-dir, --stereo-dir or "
+              "--bagfile is required", file=sys.stderr)
         return 2
     if args.evaluate or params["batch_processing"]:
         report = pipe.evaluation_protocol(out, gt_stamps=gt_stamps, gt_xyz=gt_xyz)
@@ -178,6 +192,17 @@ def cmd_synthetic(args):
         world, args.frames, seed=args.seed + 1, depth_noise_sigma=args.depth_noise
     )
     save_as_tum_dataset(args.out, poses, rgbs, depths)
+    if args.stereo > 0:
+        from ..io.stereo_input import (
+            render_stereo_sequence,
+            save_as_stereo_dataset,
+        )
+
+        sposes, lefts, rights, _ = render_stereo_sequence(
+            world, args.frames, args.stereo, seed=args.seed + 1
+        )
+        save_as_stereo_dataset(args.out, sposes, lefts, rights)
+        print(f"wrote stereo pairs (baseline {args.stereo} m) to {args.out}")
     print(f"wrote {args.frames} frames to {args.out}")
     return 0
 
@@ -629,6 +654,10 @@ def main(argv=None):
     runp.add_argument("--pcd-dir", default=None,
                       help="directory of .pcd/.ply clouds as frame input "
                       "(reference loadPCDFiles)")
+    runp.add_argument("--stereo-dir", default=None,
+                      help="directory with left/ right/ rectified image "
+                      "pairs; on-device block-matching depth (reference "
+                      "stereoCallback; -p stereo_baseline=... meters)")
     runp.add_argument("--bagfile", default=None,
                       help="ROS bag playback input (topics via -p "
                            "topic_image_mono/topic_image_depth)")
@@ -667,6 +696,9 @@ def main(argv=None):
     synp.add_argument("--seed", type=int, default=0)
     synp.add_argument("--depth-noise", type=float, default=0.0)
     synp.add_argument("--small", action="store_true", help="160x120 frames")
+    synp.add_argument("--stereo", type=float, default=0.0, metavar="BASELINE",
+                      help="also write a rectified stereo pair dataset "
+                      "(left/ right/ dirs) with this baseline in meters")
     synp.set_defaults(fn=cmd_synthetic)
 
     atep = sub.add_parser("ate", help="evaluate trajectory vs ground truth")

@@ -59,6 +59,13 @@ PARAM_DEFS = [
        "bag topic: PointCloud2 input; if set, frames come from clouds "
        "instead of the image topics (reference parameter_server.cpp:28, "
        "pcdCallback openni_listener.cpp:536)"),
+    _p("stereo_baseline", 0.075,
+       "stereo input: rectified pair baseline in meters (the reference's "
+       "stereoCallback consumes stereo_image_proc output, "
+       "openni_listener.cpp:559-598; this framework owns the block-matching "
+       "front-end on device, ops/stereo.py)"),
+    _p("stereo_max_disparity", 64, "stereo input: disparity search range (px)"),
+    _p("stereo_block_size", 9, "stereo input: SAD matching window (px)"),
     _p("skip_first_n_frames", 0, "drop initial frames"),
     _p("cloud_creation_skip_step", 2, "subsample the point grid by this step"),
     _p("maximum_depth", 10.0, "depth clip (m)"),

@@ -385,6 +385,55 @@ class SlamPipeline:
             nxt = next(it, None)
             self.process_frame(None, None, ts, compact=cpt)
 
+    def run_stereo(self, source, max_frames: Optional[int] = None) -> None:
+        """Stereo input modality (reference: stereoCallback,
+        openni_listener.cpp:559-598). ``source`` is an
+        io.stereo_input.StereoDataset (or yields the same load() tuples);
+        the block-matching disparity -> depth front-end runs on device
+        (ops/stereo.py) and the resulting RGB-D grid feeds the identical
+        per-frame path."""
+        import jax
+
+        from ..graph.manager import compact_frame
+        from ..ops.stereo import stereo_depth
+
+        p = self.params
+        skip0 = p["skip_first_n_frames"]
+        step = max(1, p["data_skip_step"])
+        stride = self.manager.emm_stride
+        fmt = self.manager.ingest_fmt
+        gb = self.manager.gray_bits
+        db = self.manager.depth_bits
+        baseline = float(p["stereo_baseline"])
+        max_disp = int(p["stereo_max_disparity"])
+        block = int(p["stereo_block_size"])
+
+        def gen():
+            count = 0
+            for k in range(len(source)):
+                if k < skip0 or (k - skip0) % step:
+                    continue
+                ts, rgb, gl, gr = source.load(k)
+                depth, _ = stereo_depth(
+                    gl, gr, self.cam.fx, baseline,
+                    max_disp=max_disp, block=block,
+                )
+                depth = np.asarray(jax.device_get(depth))
+                if self.live_dir is not None:
+                    self._last_rgb = rgb
+                yield ts, compact_frame(rgb, depth, stride, fmt=fmt,
+                                        gray_bits=gb, depth_bits=db)
+                count += 1
+                if max_frames and count >= max_frames:
+                    return
+
+        it = gen()
+        nxt = next(it, None)
+        while nxt is not None:
+            ts, cpt = nxt
+            nxt = next(it, None)
+            self.process_frame(None, None, ts, compact=cpt)
+
     def save_bagfile(self, path, include_clouds: bool = False) -> str:
         """Record the optimized result into a bag: /tf trajectory messages
         (world -> camera per node), optionally per-node RGB-D images —
