@@ -33,6 +33,7 @@ Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 Stage budgets and per-scale fps go to stderr.
 """
 import json
+import os
 import subprocess
 import sys
 import time
@@ -117,11 +118,30 @@ def main():
         poses = np.asarray(poses)
         print(f"[bench] rendered {n_frames} noisy frames in "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        cache.parent.mkdir(exist_ok=True)
-        # depth is already 1/5000-quantized by the noise model -> u16 exact
-        np.savez(cache, poses=poses, rgbs=rgbs,
-                 depths_u16=np.clip(depths * 5000.0 + 0.5, 0, 65535).astype(np.uint16))
+        try:
+            # parents=True + realpath: the cache dir may be a symlink into
+            # the live repo (tools/r4_tpu_watch.sh snapshots); a DANGLING
+            # symlink made mkdir throw FileExistsError and killed the whole
+            # round-3 bench after the 14-minute render (r4 lesson: never
+            # let cache bookkeeping abort the deliverable)
+            Path(os.path.realpath(cache.parent)).mkdir(
+                parents=True, exist_ok=True
+            )
+            # depth is already 1/5000-quantized by the noise model -> u16
+            np.savez(cache, poses=poses, rgbs=rgbs,
+                     depths_u16=np.clip(
+                         depths * 5000.0 + 0.5, 0, 65535
+                     ).astype(np.uint16))
+        except OSError as e:
+            print(f"[bench] frame cache unavailable ({e}); continuing",
+                  file=sys.stderr)
     stamps = np.arange(n_frames) / 30.0
+
+    # BENCH_OVERRIDES='{"tpu_wire_delta": true}' A/Bs a full bench config
+    # without editing the file (the A/B queue uses it before a default flips)
+    overrides = json.loads(os.environ.get("BENCH_OVERRIDES", "{}"))
+    if overrides:
+        print(f"[bench] param overrides: {overrides}", file=sys.stderr)
 
     def make_pipe(n_nodes=1024, n_edges=8192):
         params = ParameterServer(
@@ -139,6 +159,10 @@ def main():
                 # (test_settings.launch: cloud skip 8 x emm skip 1; here
                 # cloud stride 2 x emm skip 4)
                 emm_skip_step=4,
+                # round-4 wire: temporal-delta P-frames (tpu_wire_delta);
+                # enabled here once the TPU A/B showed ATE-neutral (see
+                # tools/ab_ate.py delta / delta-fps2 variants)
+                **overrides,
             )
         )
         return SlamPipeline(TUM_DEFAULT, params)

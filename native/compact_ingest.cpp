@@ -269,4 +269,144 @@ int compact_yc12(const uint8_t* rgb, const uint8_t* gray_in,
   return static_cast<int>((crp)-out);
 }
 
+// Temporal-delta (P-frame) wire encoder — bit-exact twin of the numpy path
+// in graph/manager.py delta_encode (closed-loop DPCM against the device's
+// reconstructed wire codes; see _unpack_yc12_delta for the device decoder).
+// Advances the prev_qg (H*W u8 luma codes) / prev_qd ((H/s)*(W/s) u16 depth
+// codes) mirrors IN PLACE. Returns bytes written, -2 when more than
+// clamp_budget residual samples clamped (caller ships an I-frame instead
+// and rebuilds the mirrors from its codes — the partial in-place updates
+// are overwritten), or -1 on bad arguments. gray_bits=6/depth_bits=10 only.
+int compact_delta(const uint8_t* rgb, const uint8_t* gray_in,
+                  const uint16_t* d16, const float* dmeters, uint8_t* prev_qg,
+                  uint16_t* prev_qd, int H, int W, int stride,
+                  int chroma_mult, int clamp_budget, uint8_t* out) {
+  if ((rgb == nullptr) == (gray_in == nullptr)) return -1;
+  if ((d16 == nullptr) == (dmeters == nullptr)) return -1;
+  if (prev_qg == nullptr || prev_qd == nullptr) return -1;
+  if (stride < 1 || (H * W) % 2 != 0) return -1;
+  if (chroma_mult != 2 && chroma_mult != 4) return -1;
+  const int s = stride;
+  const int hs = (H + s - 1) / s, ws = (W + s - 1) / s;
+  if ((hs * ws) % 8 != 0) return -1;
+
+  uint8_t* p = out;
+  long n_clamp = 0;
+
+  // ---- luma residuals: q = dither6(Y) >> 2; r = clamp(q - prev, -8, 7);
+  // two 4-bit codes (r + 8) per byte, low nibble first -------------------
+  int pair = 0;
+  int pn = 0;
+  size_t gi = 0;
+  for (int y = 0; y < H; ++y) {
+    const int* brow = kBayer6[y & 3];
+    const uint8_t* rp = rgb ? rgb + static_cast<size_t>(y) * W * 3 : nullptr;
+    const uint8_t* gp =
+        gray_in ? gray_in + static_cast<size_t>(y) * W : nullptr;
+    for (int x = 0; x < W; ++x, ++gi) {
+      int g8;
+      if (rp) {
+        const uint8_t* px = rp + 3 * x;
+        g8 = (px[0] * 77 + px[1] * 150 + px[2] * 29) >> 8;
+      } else {
+        g8 = gp[x];
+      }
+      const int q = clip_u8(g8 + brow[x & 3] - (g8 >> 6)) >> 2;
+      int r = q - prev_qg[gi];
+      if (r < -8) {
+        r = -8;
+        ++n_clamp;
+      } else if (r > 7) {
+        r = 7;
+        ++n_clamp;
+      }
+      prev_qg[gi] = static_cast<uint8_t>(prev_qg[gi] + r);
+      if (pn == 0) {
+        pair = r + 8;
+        pn = 1;
+      } else {
+        *p++ = static_cast<uint8_t>(pair | ((r + 8) << 4));
+        pn = 0;
+      }
+    }
+  }
+  if (n_clamp > clamp_budget) return -2;
+
+  // ---- depth-code residuals: 5-bit (r + 16), 8 samples -> 5 B ----------
+  const uint16_t* lut = d10_lut();
+  uint8_t oct[8];
+  int qn = 0;
+  size_t di = 0;
+  for (int y = 0; y < H; y += s) {
+    const uint16_t* drow = d16 ? d16 + static_cast<size_t>(y) * W : nullptr;
+    const float* frow =
+        dmeters ? dmeters + static_cast<size_t>(y) * W : nullptr;
+    for (int x = 0; x < W; x += s, ++di) {
+      uint16_t d;
+      if (drow) {
+        d = drow[x];
+      } else {
+        float m = frow[x];
+        if (!(m > 0.0f) || !std::isfinite(m)) m = 0.0f;
+        float scaled = m * 5000.0f;
+        d = scaled >= 65535.0f ? 65535 : static_cast<uint16_t>(scaled);
+      }
+      int r = static_cast<int>(lut[d]) - static_cast<int>(prev_qd[di]);
+      if (r < -16) {
+        r = -16;
+        ++n_clamp;
+      } else if (r > 15) {
+        r = 15;
+        ++n_clamp;
+      }
+      prev_qd[di] = static_cast<uint16_t>(prev_qd[di] + r);
+      oct[qn++] = static_cast<uint8_t>(r + 16);
+      if (qn == 8) {
+        p[0] = static_cast<uint8_t>(oct[0] | ((oct[1] & 0x07) << 5));
+        p[1] = static_cast<uint8_t>((oct[1] >> 3) | (oct[2] << 2) |
+                                    ((oct[3] & 0x01) << 7));
+        p[2] = static_cast<uint8_t>((oct[3] >> 1) | ((oct[4] & 0x0F) << 4));
+        p[3] = static_cast<uint8_t>((oct[4] >> 4) | (oct[5] << 1) |
+                                    ((oct[6] & 0x03) << 6));
+        p[4] = static_cast<uint8_t>((oct[6] >> 2) | (oct[7] << 3));
+        p += 5;
+        qn = 0;
+      }
+    }
+  }
+  if (n_clamp > clamp_budget) return -2;
+
+  // ---- chroma tail: identical to the I-frame layout --------------------
+  const int cs = chroma_mult * s;
+  const int hc = (H + cs - 1) / cs, wc = (W + cs - 1) / cs;
+  uint8_t* cbp = p;
+  uint8_t* crp = p + static_cast<size_t>(hc) * wc;
+  if (rgb) {
+    for (int y = 0; y < H; y += cs) {
+      const uint8_t* rp = rgb + static_cast<size_t>(y) * W * 3;
+      for (int x = 0; x < W; x += cs) {
+        const uint8_t* px = rp + 3 * x;
+        float r = static_cast<float>(px[0]);
+        float g = static_cast<float>(px[1]);
+        float b = static_cast<float>(px[2]);
+        float cb = ((128.0f - static_cast<float>(0.168736) * r) -
+                    static_cast<float>(0.331264) * g) +
+                   0.5f * b;
+        float cr = ((128.0f + 0.5f * r) - static_cast<float>(0.418688) * g) -
+                   static_cast<float>(0.081312) * b;
+        if (cb < 0.0f) cb = 0.0f;
+        if (cb > 255.0f) cb = 255.0f;
+        if (cr < 0.0f) cr = 0.0f;
+        if (cr > 255.0f) cr = 255.0f;
+        *cbp++ = static_cast<uint8_t>(cb);
+        *crp++ = static_cast<uint8_t>(cr);
+      }
+    }
+  } else {
+    std::memset(cbp, 128, static_cast<size_t>(hc) * wc * 2);
+    crp += static_cast<size_t>(hc) * wc;
+  }
+  return static_cast<int>(crp - out);
+}
+
 }  // extern "C"

@@ -171,6 +171,19 @@ PARAM_DEFS = [
        "(1.25 B/sample, error 3.5-6 mm — 3-15x below the 0.01z^2 sensor "
        "noise floor, -19 KB/frame on the ~40 MB/s link) or 12 "
        "(1.5 B/sample, 0.9-1.3 mm, precision studies)"),
+    _p("tpu_wire_delta", False,
+       "[tpu] temporal-delta wire coding for the yc12 ingest (fast path, "
+       "gray_bits=6/depth_bits=10): P-frames ship 4-bit luma-code residuals "
+       "+ 5-bit depth-code residuals against the previous frame's "
+       "reconstruction (closed-loop DPCM, host mirrors device integer-"
+       "exactly) — 211 vs 336 KB/frame at VGA/s2 on the serialized tunnel "
+       "link. Frames whose clamped-residual fraction exceeds "
+       "tpu_wire_delta_max_clamp (fast motion, scene cuts, depth flicker) "
+       "auto-ship as absolute I-frames, so accuracy never drops below the "
+       "absolute wire format"),
+    _p("tpu_wire_delta_max_clamp", 0.02,
+       "[tpu] max fraction of clamped residual samples before the delta "
+       "wire encoder falls back to an absolute I-frame"),
     _p("tpu_approx_select", False,
        "[tpu] per-cell keypoint selection via lax.approx_max_k (~0.95 "
        "recall hardware binned reduction) instead of exact top_k, which "

@@ -83,6 +83,7 @@ _STEP_STATICS = (
     "const_pos_information",
     "keep_all",
     "use_feature_min_depth",
+    "wire_delta",
 )
 
 
@@ -96,6 +97,7 @@ def _compute_body(
     cand_dup,  # (B,) bool — True for padding duplicates (masked out)
     cand_dt,  # (B,) float32 — |t_new - t_cand| per candidate
     seed,  # () uint32 — RNG derived in-program (host-side key ops cost ~3 ms)
+    wire_prev=None,  # optional (gray q u8, depth q u16) — delta-wire state
     # --- static config ---
     extractor=None,
     cam: Intrinsics = None,
@@ -124,14 +126,24 @@ def _compute_body(
     const_pos_information: float = 1e-3,
     keep_all: bool = True,
     use_feature_min_depth: bool = False,
+    wire_delta: bool = False,
 ):
-    from .manager import _prepare_and_extract
+    from .manager import _prepare_and_extract, _prepare_and_extract_wire
 
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
-    kp, depth_small, color_small = _prepare_and_extract(
-        extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-        packed, fmt=ingest_fmt, gray_bits=gray_bits, depth_bits=depth_bits
-    )
+    if wire_delta:
+        kp, depth_small, color_small, new_wire = _prepare_and_extract_wire(
+            extractor, cam, stride, min_depth, max_depth,
+            use_feature_min_depth, packed, wire_prev,
+            gray_bits=gray_bits, depth_bits=depth_bits,
+        )
+    else:
+        kp, depth_small, color_small = _prepare_and_extract(
+            extractor, cam, stride, min_depth, max_depth,
+            use_feature_min_depth, packed, fmt=ingest_fmt,
+            gray_bits=gray_bits, depth_bits=depth_bits,
+        )
+        new_wire = None
     res = compare_to_candidates(
         kp,
         depth_small,
@@ -234,7 +246,8 @@ def _compute_body(
             kp.count().astype(jnp.float32)[None],
         ]
     )
-    return rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary
+    return rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary, \
+        new_wire
 
 
 class NodeRows(NamedTuple):
@@ -312,20 +325,22 @@ def _step_body(
     cand_dt,
     edge_start,
     seed,
+    wire_prev=None,
     **cfg,
 ):
     """Fused single-program step (compute + commit) — used by slam_step2;
     the manager's per-frame fast path dispatches slam_compute + slam_commit
     instead (see _commit_body's docstring for why)."""
-    rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary = _compute_body(
+    (rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary,
+     new_wire) = _compute_body(
         store, graph, packed, new_id, pred_id, cand_idx, cand_dup, cand_dt,
-        seed, **cfg,
+        seed, wire_prev, **cfg,
     )
     store, graph = _commit_body(
         store, graph, rows, new_pose, new_id, edge_start,
         e_i, e_j, e_meas, e_info, e_active,
     )
-    return store, graph, summary
+    return store, graph, summary, new_wire
 
 
 slam_step = functools.partial(
@@ -348,7 +363,8 @@ slam_commit = jax.jit(_commit_body, donate_argnums=(0, 1))
 def slam_step2(
     store: NodeStore,
     graph: GraphState,
-    packed2,  # (2, N) uint8 — two packed ingest buffers
+    packed2,  # (2, N) uint8 — two packed ingest buffers ((b0, b1) tuple in
+    #          delta-wire mode, where I and P buffers differ in length)
     new_ids,  # (2,) int32
     pred_ids,  # (2,) int32
     cand_idx2,  # (2, B) int32
@@ -356,20 +372,23 @@ def slam_step2(
     cand_dt2,  # (2, B) float32
     edge_starts,  # (2,) int32
     seeds,  # (2,) uint32
+    wire_prev=None,
     **cfg,
 ):
     """TWO consecutive frames in ONE device program: frame 1's comparison
-    reads frame 0's freshly committed store row inside the same dispatch.
-    Halves the per-frame fixed dispatch/transfer round-trips on links where
-    they dominate (tpu_frames_per_step=2). Results are identical to two
-    sequential slam_step calls (same body, same order; asserted in
+    reads frame 0's freshly committed store row inside the same dispatch
+    (and, in delta-wire mode, frame 1's decode predicts from frame 0's
+    freshly reconstructed wire codes). Halves the per-frame fixed
+    dispatch/transfer round-trips on links where they dominate
+    (tpu_frames_per_step=2). Results are identical to two sequential
+    slam_step calls (same body, same order; asserted in
     tests/test_round2_features.py)."""
-    s0_store, s0_graph, sum0 = _step_body(
+    s0_store, s0_graph, sum0, wire0 = _step_body(
         store, graph, packed2[0], new_ids[0], pred_ids[0], cand_idx2[0],
-        cand_dup2[0], cand_dt2[0], edge_starts[0], seeds[0], **cfg,
+        cand_dup2[0], cand_dt2[0], edge_starts[0], seeds[0], wire_prev, **cfg,
     )
-    s1_store, s1_graph, sum1 = _step_body(
+    s1_store, s1_graph, sum1, wire1 = _step_body(
         s0_store, s0_graph, packed2[1], new_ids[1], pred_ids[1], cand_idx2[1],
-        cand_dup2[1], cand_dt2[1], edge_starts[1], seeds[1], **cfg,
+        cand_dup2[1], cand_dt2[1], edge_starts[1], seeds[1], wire0, **cfg,
     )
-    return s1_store, s1_graph, sum0, sum1
+    return s1_store, s1_graph, sum0, sum1, wire1

@@ -128,10 +128,10 @@ def _pack6(gray8: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def _pack5(gray8: np.ndarray) -> np.ndarray:
-    """(N,) u8 gray, N % 8 == 0 -> (5N/8,) u8: 5-bit luma, 8 px per 5 B
-    (little-endian bit stream like the 10-bit depth packing)."""
-    a = (gray8.reshape(-1, 8) >> 3).astype(np.uint8)
+def _pack5_codes(codes: np.ndarray) -> np.ndarray:
+    """(N,) u8 values < 32, N % 8 == 0 -> (5N/8,) u8 little-endian bit
+    stream (shared by the 5-bit luma wire and the depth-residual wire)."""
+    a = codes.reshape(-1, 8).astype(np.uint8)
     out = np.empty((a.shape[0], 5), np.uint8)
     out[:, 0] = a[:, 0] | ((a[:, 1] & 0x07) << 5)
     out[:, 1] = (a[:, 1] >> 3) | (a[:, 2] << 2) | ((a[:, 3] & 0x01) << 7)
@@ -139,6 +139,17 @@ def _pack5(gray8: np.ndarray) -> np.ndarray:
     out[:, 3] = (a[:, 4] >> 4) | (a[:, 5] << 1) | ((a[:, 6] & 0x03) << 6)
     out[:, 4] = (a[:, 6] >> 2) | (a[:, 7] << 3)
     return out.reshape(-1)
+
+
+def _pack5(gray8: np.ndarray) -> np.ndarray:
+    """(N,) u8 gray, N % 8 == 0 -> (5N/8,) u8: 5-bit luma, 8 px per 5 B."""
+    return _pack5_codes(gray8 >> 3)
+
+
+def _pack4(codes: np.ndarray) -> np.ndarray:
+    """(N,) u8 values < 16, N % 2 == 0 -> (N/2,) u8 (low nibble first)."""
+    a = codes.reshape(-1, 2)
+    return (a[:, 0] | (a[:, 1] << 4)).astype(np.uint8)
 
 
 _BAYER4 = np.array(
@@ -287,75 +298,28 @@ def _unpack_compact(packed, H: int, W: int, stride: int):
     return gray8, depth16, color
 
 
-def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6,
-                 depth_bits: int = 10):
-    """Device-side inverse of compact_frame(fmt="yc12"): packed u8 ->
-    (gray u8 (H,W), depth_small f32 meters (h,w), color u8 (h,w,3)).
+def _unpack5_codes_dev(b5):
+    """Device inverse of _pack5_codes: (5K,) u8 -> (8K,) u32 values < 32."""
+    b = b5.reshape(-1, 5).astype(jnp.uint32)
+    return jnp.stack(
+        [
+            b[:, 0] & 0x1F,
+            (b[:, 0] >> 5) | ((b[:, 1] & 0x03) << 3),
+            (b[:, 1] >> 2) & 0x1F,
+            (b[:, 1] >> 7) | ((b[:, 2] & 0x0F) << 1),
+            (b[:, 2] >> 4) | ((b[:, 3] & 0x01) << 4),
+            (b[:, 3] >> 1) & 0x1F,
+            (b[:, 3] >> 6) | ((b[:, 4] & 0x07) << 2),
+            b[:, 4] >> 3,
+        ],
+        axis=-1,
+    ).reshape(-1)
 
-    Depth: sqrt codes -> d16 = q^2/2^(2b-16) -> meters (b = depth_bits).
-    Color: Y from the stride-s gray plane + Cb/Cr nearest-upsampled from
-    stride 2s-or-4s (BT.601 inverse) — all elementwise, fuses into the
-    step program. gray_bits=6 unpacks the 4-px-per-3-B luma with
-    bit-replication ((q<<2)|(q>>4)); gray_bits=5 the 8-px-per-5-B form
-    ((q<<3)|(q>>2))."""
-    if gray_bits == 8:
-        n_gray = H * W
-    elif gray_bits == 6:
-        n_gray = (H * W // 4) * 3
-    else:
-        n_gray = (H * W // 8) * 5
-    h, w = H // stride, W // stride
-    cm = _chroma_mult(H, W, stride)
-    hc, wc = H // (cm * stride), W // (cm * stride)
-    if gray_bits == 5:
-        b = packed[:n_gray].reshape(-1, 5).astype(jnp.uint32)
-        q = jnp.stack(
-            [
-                b[:, 0] & 0x1F,
-                (b[:, 0] >> 5) | ((b[:, 1] & 0x03) << 3),
-                (b[:, 1] >> 2) & 0x1F,
-                (b[:, 1] >> 7) | ((b[:, 2] & 0x0F) << 1),
-                (b[:, 2] >> 4) | ((b[:, 3] & 0x01) << 4),
-                (b[:, 3] >> 1) & 0x1F,
-                (b[:, 3] >> 6) | ((b[:, 4] & 0x07) << 2),
-                b[:, 4] >> 3,
-            ],
-            axis=-1,
-        ).reshape(H, W)
-        gray8 = ((q << 3) | (q >> 2)).astype(jnp.uint8)
-    elif gray_bits == 6:
-        g = packed[:n_gray].reshape(-1, 3).astype(jnp.uint32)
-        q = jnp.stack(
-            [
-                g[:, 0] & 0x3F,
-                (g[:, 0] >> 6) | ((g[:, 1] & 0x0F) << 2),
-                (g[:, 1] >> 4) | ((g[:, 2] & 0x03) << 4),
-                g[:, 2] >> 2,
-            ],
-            axis=-1,
-        ).reshape(H, W)
-        gray8 = ((q << 2) | (q >> 4)).astype(jnp.uint8)
-    else:
-        gray8 = packed[:n_gray].reshape(H, W)
-    if depth_bits == 10:
-        n_d12 = (h * w // 4) * 5
-        b = packed[n_gray : n_gray + n_d12].reshape(-1, 5).astype(jnp.uint32)
-        q0 = b[:, 0] | ((b[:, 1] & 0x03) << 8)
-        q1 = (b[:, 1] >> 2) | ((b[:, 2] & 0x0F) << 6)
-        q2 = (b[:, 2] >> 4) | ((b[:, 3] & 0x3F) << 4)
-        q3 = (b[:, 3] >> 6) | (b[:, 4] << 2)
-        q = jnp.stack([q0, q1, q2, q3], axis=-1).reshape(h, w).astype(
-            jnp.float32
-        )
-        depth_small = q * q * jnp.float32(1.0 / (16.0 * DEPTH_SCALE))
-    else:
-        n_d12 = (h * w // 2) * 3
-        b = packed[n_gray : n_gray + n_d12].reshape(-1, 3).astype(jnp.uint32)
-        q0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
-        q1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
-        q = jnp.stack([q0, q1], axis=-1).reshape(h, w).astype(jnp.float32)
-        depth_small = q * q * jnp.float32(1.0 / (256.0 * DEPTH_SCALE))
-    off = n_gray + n_d12
+
+def _decode_color_small(packed, off: int, gray8, stride: int, cm: int,
+                        h: int, w: int, hc: int, wc: int):
+    """Shared yc12 color tail: Cb/Cr planes at stride cm*s + the luma plane
+    -> (h, w, 3) u8 (BT.601 inverse; visualization-only color)."""
     cb = packed[off : off + hc * wc].reshape(hc, wc).astype(jnp.float32)
     cr = packed[off + hc * wc : off + 2 * hc * wc].reshape(hc, wc).astype(
         jnp.float32
@@ -372,10 +336,237 @@ def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6,
     r = y + 1.402 * cr2
     g = y - 0.344136 * cb2 - 0.714136 * cr2
     bch = y + 1.772 * cb2
-    color = jnp.clip(
+    return jnp.clip(
         jnp.stack([r, g, bch], axis=-1), 0.0, 255.0
     ).astype(jnp.uint8)
+
+
+def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6,
+                 depth_bits: int = 10, return_codes: bool = False):
+    """Device-side inverse of compact_frame(fmt="yc12"): packed u8 ->
+    (gray u8 (H,W), depth_small f32 meters (h,w), color u8 (h,w,3))
+    [+ the raw wire codes (gray q u8, depth q u16) when return_codes —
+    the temporal-delta coder's reference state].
+
+    Depth: sqrt codes -> d16 = q^2/2^(2b-16) -> meters (b = depth_bits).
+    Color: Y from the stride-s gray plane + Cb/Cr nearest-upsampled from
+    stride 2s-or-4s (BT.601 inverse) — all elementwise, fuses into the
+    step program. gray_bits=6 unpacks the 4-px-per-3-B luma with
+    bit-replication ((q<<2)|(q>>4)); gray_bits=5 the 8-px-per-5-B form
+    ((q<<3)|(q>>2))."""
+    if gray_bits == 8:
+        n_gray = H * W
+    elif gray_bits == 6:
+        n_gray = (H * W // 4) * 3
+    else:
+        n_gray = (H * W // 8) * 5
+    h, w = H // stride, W // stride
+    cm = _chroma_mult(H, W, stride)
+    hc, wc = H // (cm * stride), W // (cm * stride)
+    codes_g = None
+    if gray_bits == 5:
+        q = _unpack5_codes_dev(packed[:n_gray]).reshape(H, W)
+        gray8 = ((q << 3) | (q >> 2)).astype(jnp.uint8)
+        codes_g = q.astype(jnp.uint8)
+    elif gray_bits == 6:
+        g = packed[:n_gray].reshape(-1, 3).astype(jnp.uint32)
+        q = jnp.stack(
+            [
+                g[:, 0] & 0x3F,
+                (g[:, 0] >> 6) | ((g[:, 1] & 0x0F) << 2),
+                (g[:, 1] >> 4) | ((g[:, 2] & 0x03) << 4),
+                g[:, 2] >> 2,
+            ],
+            axis=-1,
+        ).reshape(H, W)
+        gray8 = ((q << 2) | (q >> 4)).astype(jnp.uint8)
+        codes_g = q.astype(jnp.uint8)
+    else:
+        gray8 = packed[:n_gray].reshape(H, W)
+    if depth_bits == 10:
+        n_d12 = (h * w // 4) * 5
+        b = packed[n_gray : n_gray + n_d12].reshape(-1, 5).astype(jnp.uint32)
+        q0 = b[:, 0] | ((b[:, 1] & 0x03) << 8)
+        q1 = (b[:, 1] >> 2) | ((b[:, 2] & 0x0F) << 6)
+        q2 = (b[:, 2] >> 4) | ((b[:, 3] & 0x3F) << 4)
+        q3 = (b[:, 3] >> 6) | (b[:, 4] << 2)
+        qi = jnp.stack([q0, q1, q2, q3], axis=-1).reshape(h, w)
+        q = qi.astype(jnp.float32)
+        depth_small = q * q * jnp.float32(1.0 / (16.0 * DEPTH_SCALE))
+    else:
+        n_d12 = (h * w // 2) * 3
+        b = packed[n_gray : n_gray + n_d12].reshape(-1, 3).astype(jnp.uint32)
+        q0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
+        q1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+        qi = jnp.stack([q0, q1], axis=-1).reshape(h, w)
+        q = qi.astype(jnp.float32)
+        depth_small = q * q * jnp.float32(1.0 / (256.0 * DEPTH_SCALE))
+    off = n_gray + n_d12
+    color = _decode_color_small(packed, off, gray8, stride, cm, h, w, hc, wc)
+    if return_codes:
+        return gray8, depth_small, color, (codes_g, qi.astype(jnp.uint16))
     return gray8, depth_small, color
+
+
+def wire_intra_len(H: int, W: int, stride: int, gray_bits: int = 6,
+                   depth_bits: int = 10) -> int:
+    """Byte length of one compact_frame(fmt="yc12") intra buffer."""
+    n_gray = {8: H * W, 6: (H * W // 4) * 3, 5: (H * W // 8) * 5}[gray_bits]
+    h, w = H // stride, W // stride
+    n_d = (h * w // 4) * 5 if depth_bits == 10 else (h * w // 2) * 3
+    cs = _chroma_mult(H, W, stride) * stride
+    return n_gray + n_d + 2 * (H // cs) * (W // cs)
+
+
+def wire_delta_len(H: int, W: int, stride: int) -> int:
+    """Byte length of one temporal-delta (P) wire buffer: 4-bit luma
+    residuals + 5-bit depth-code residuals + the absolute chroma tail."""
+    h, w = H // stride, W // stride
+    cs = _chroma_mult(H, W, stride) * stride
+    return H * W // 2 + (h * w // 8) * 5 + 2 * (H // cs) * (W // cs)
+
+
+def _unpack_yc12_delta(packed, H: int, W: int, stride: int, wire_prev):
+    """Device-side decode of a temporal-delta (P) frame.
+
+    Closed-loop DPCM against the previous frame's RECONSTRUCTED wire codes
+    (wire_prev = (gray q u8 (H,W), depth q u16 (h,w)) — the host encoder
+    mirrors this exact integer arithmetic, so host and device states never
+    drift): luma residuals are 4-bit (r = clamp(q_cur - q_prev, -8, 7)),
+    depth sqrt-code residuals 5-bit (clamp ±16). The reference ships
+    nothing per frame (sensor DMA lands in host RAM, node.cpp:101-240); on
+    a TPU behind a ~40 MB/s tunnel the wire format IS the ingest design,
+    and consecutive frames overlap ~95%, so shipping the temporal delta
+    cuts the dominant frame cost by ~37% (336 -> 211 KB at VGA/s2)."""
+    h, w = H // stride, W // stride
+    cm = _chroma_mult(H, W, stride)
+    hc, wc = H // (cm * stride), W // (cm * stride)
+    prev_g, prev_d = wire_prev
+    n_l = H * W // 2
+    b = packed[:n_l].astype(jnp.int16)
+    r = jnp.stack([b & 0xF, b >> 4], axis=-1).reshape(H, W) - 8
+    qg = jnp.clip(prev_g.astype(jnp.int16) + r, 0, 63).astype(jnp.uint32)
+    gray8 = ((qg << 2) | (qg >> 4)).astype(jnp.uint8)
+    n_d = (h * w // 8) * 5
+    rd = _unpack5_codes_dev(packed[n_l : n_l + n_d]).reshape(h, w).astype(
+        jnp.int32
+    ) - 16
+    qd = jnp.clip(prev_d.astype(jnp.int32) + rd, 0, 1023)
+    qf = qd.astype(jnp.float32)
+    depth_small = qf * qf * jnp.float32(1.0 / (16.0 * DEPTH_SCALE))
+    color = _decode_color_small(
+        packed, n_l + n_d, gray8, stride, cm, h, w, hc, wc
+    )
+    return gray8, depth_small, color, (
+        qg.astype(jnp.uint8), qd.astype(jnp.uint16)
+    )
+
+
+def _host_unpack_codes(packed: np.ndarray, H: int, W: int, stride: int,
+                       gray_bits: int = 6, depth_bits: int = 10):
+    """Host-side wire-code extraction from an INTRA yc12 buffer: the delta
+    encoder's state mirror after an I-frame. Reading the codes back off the
+    produced buffer (instead of re-deriving them from the pixels) makes the
+    mirror exact no matter which encoder produced it (native C, cv2 or
+    numpy gray paths)."""
+    assert gray_bits == 6 and depth_bits == 10, "delta wire needs 6/10 codes"
+    n_gray = (H * W // 4) * 3
+    g = packed[:n_gray].reshape(-1, 3).astype(np.uint16)
+    qg = np.stack(
+        [
+            g[:, 0] & 0x3F,
+            (g[:, 0] >> 6) | ((g[:, 1] & 0x0F) << 2),
+            (g[:, 1] >> 4) | ((g[:, 2] & 0x03) << 4),
+            g[:, 2] >> 2,
+        ],
+        axis=-1,
+    ).reshape(H, W).astype(np.uint8)
+    h, w = H // stride, W // stride
+    n_d = (h * w // 4) * 5
+    b = packed[n_gray : n_gray + n_d].reshape(-1, 5).astype(np.uint16)
+    qd = np.stack(
+        [
+            b[:, 0] | ((b[:, 1] & 0x03) << 8),
+            (b[:, 1] >> 2) | ((b[:, 2] & 0x0F) << 6),
+            (b[:, 2] >> 4) | ((b[:, 3] & 0x3F) << 4),
+            (b[:, 3] >> 6) | (b[:, 4].astype(np.uint16) << 2),
+        ],
+        axis=-1,
+    ).reshape(h, w)
+    return qg, qd
+
+
+def delta_encode(rgb, depth, prev_qg: np.ndarray, prev_qd: np.ndarray,
+                 stride: int, max_clamp: float = 0.02):
+    """Host-side temporal-delta (P) encoder — exact mirror of
+    _unpack_yc12_delta. Returns (packed, new_qg, new_qd) or None when the
+    clamped-residual fraction exceeds max_clamp (fast motion / scene
+    change / depth flicker: the caller ships an I-frame instead, so
+    accuracy degrades to at-worst the absolute wire format, never below).
+    """
+    rgb = np.asarray(rgb)
+    depth = np.asarray(depth)
+    H, W = depth.shape
+    from ..io.native_loader import delta_encode_native
+
+    nat = delta_encode_native(rgb, depth, prev_qg, prev_qd, stride, max_clamp)
+    if nat is not None:
+        return None if nat == "clamped" else nat
+    if rgb.ndim == 3:
+        try:
+            import cv2
+
+            gray8 = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+        except Exception:
+            r16 = rgb.astype(np.uint16)
+            gray8 = (
+                (r16[..., 0] * 77 + r16[..., 1] * 150 + r16[..., 2] * 29) >> 8
+            ).astype(np.uint8)
+    else:
+        gray8 = (
+            rgb if rgb.dtype == np.uint8
+            else np.clip(
+                rgb * (255.0 if rgb.dtype.kind == "f" else 1.0), 0, 255
+            ).astype(np.uint8)
+        )
+    if depth.dtype == np.uint16:
+        d16 = depth
+    else:
+        d = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
+        d16 = np.clip(d * DEPTH_SCALE, 0, 65535).astype(np.uint16)
+    q_cur = (_dither6(gray8) >> 2).astype(np.int16)
+    r = q_cur - prev_qg.astype(np.int16)
+    rc = np.clip(r, -8, 7)
+    qd_cur = _d10_lut()[d16[::stride, ::stride]].astype(np.int32)
+    rd = qd_cur - prev_qd.astype(np.int32)
+    rdc = np.clip(rd, -16, 15)
+    n_clamp = int(np.count_nonzero(r != rc)) + int(
+        np.count_nonzero(rd != rdc)
+    )
+    if n_clamp > max_clamp * (r.size + rd.size):
+        return None
+    new_qg = (prev_qg.astype(np.int16) + rc).astype(np.uint8)
+    new_qd = (prev_qd.astype(np.int32) + rdc).astype(np.uint16)
+    cs = _chroma_mult(H, W, stride) * stride
+    if rgb.ndim == 3:
+        sub = rgb[::cs, ::cs].astype(np.float32)
+        rr, gg, bb = sub[..., 0], sub[..., 1], sub[..., 2]
+        cb = np.clip(128.0 - 0.168736 * rr - 0.331264 * gg + 0.5 * bb, 0, 255)
+        cr = np.clip(128.0 + 0.5 * rr - 0.418688 * gg - 0.081312 * bb, 0, 255)
+        cb = cb.astype(np.uint8)
+        cr = cr.astype(np.uint8)
+    else:
+        cb = np.full((H // cs, W // cs), 128, np.uint8)
+        cr = np.full((H // cs, W // cs), 128, np.uint8)
+    packed = np.concatenate(
+        [
+            _pack4((rc + 8).astype(np.uint8).reshape(-1)),
+            _pack5_codes((rdc + 16).astype(np.uint8).reshape(-1)),
+            cb.reshape(-1),
+            cr.reshape(-1),
+        ]
+    )
+    return packed, new_qg, new_qd
 
 
 @functools.partial(
@@ -398,21 +589,9 @@ def _prepare_and_extract(
         gray8, depth_m, color_small = _unpack_yc12(
             packed, H, W, stride, gray_bits, depth_bits
         )
-        valid_s = (depth_m > min_depth) & (depth_m < max_depth)
-        depth_small = jnp.where(valid_s, depth_m, 0.0)
-        # feature depth reads the stride-s cell (nearest upsample); the
-        # reference reads the full-res center pixel (node.cpp:940-944) —
-        # the difference is the intra-cell depth gradient, mm-scale off
-        # discontinuities, and depth-invalid cells stay invalid
-        depth_full = jnp.repeat(
-            jnp.repeat(depth_small, stride, 0), stride, 1
-        )[:H, :W]
-        valid_full = depth_full > 0
-        gray = gray8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-        kp = extractor(
-            gray,
-            feature_depth_map(depth_full, valid_full, use_feature_min_depth),
-            cam,
+        kp, depth_small = _finish_yc12(
+            extractor, cam, stride, min_depth, max_depth,
+            use_feature_min_depth, gray8, depth_m,
         )
         return kp, depth_small, color_small
     gray8, depth16, color_small = _unpack_compact(packed, H, W, stride)
@@ -422,6 +601,58 @@ def _prepare_and_extract(
     gray = gray8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     kp = extractor(gray, feature_depth_map(depth, valid, use_feature_min_depth), cam)
     return kp, depth[::stride, ::stride], color_small
+
+
+def _finish_yc12(extractor, cam, stride, min_depth, max_depth,
+                 use_feature_min_depth, gray8, depth_m):
+    """Shared yc12 tail: depth masking + feature-depth plane + keypoint
+    extraction (used by the absolute and temporal-delta ingest paths)."""
+    from ..models.orb import feature_depth_map
+
+    H, W = cam.height, cam.width
+    valid_s = (depth_m > min_depth) & (depth_m < max_depth)
+    depth_small = jnp.where(valid_s, depth_m, 0.0)
+    # feature depth reads the stride-s cell (nearest upsample); the
+    # reference reads the full-res center pixel (node.cpp:940-944) —
+    # the difference is the intra-cell depth gradient, mm-scale off
+    # discontinuities, and depth-invalid cells stay invalid
+    depth_full = jnp.repeat(
+        jnp.repeat(depth_small, stride, 0), stride, 1
+    )[:H, :W]
+    valid_full = depth_full > 0
+    gray = gray8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    kp = extractor(
+        gray,
+        feature_depth_map(depth_full, valid_full, use_feature_min_depth),
+        cam,
+    )
+    return kp, depth_small
+
+
+def _prepare_and_extract_wire(
+    extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
+    packed, wire_prev, gray_bits: int = 6, depth_bits: int = 10
+):
+    """Temporal-delta-aware variant of _prepare_and_extract (traced inside
+    the fused device step). Dispatches I vs P by the packed buffer LENGTH —
+    a trace-time constant, so each frame type gets its own cached compiled
+    step and no in-program branching exists. Returns the wire codes as a
+    4th output; the caller threads them into the next frame's call."""
+    H, W = cam.height, cam.width
+    if int(packed.shape[0]) == wire_intra_len(H, W, stride, gray_bits,
+                                              depth_bits):
+        gray8, depth_m, color_small, codes = _unpack_yc12(
+            packed, H, W, stride, gray_bits, depth_bits, return_codes=True
+        )
+    else:
+        gray8, depth_m, color_small, codes = _unpack_yc12_delta(
+            packed, H, W, stride, wire_prev
+        )
+    kp, depth_small = _finish_yc12(
+        extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
+        gray8, depth_m,
+    )
+    return kp, depth_small, color_small, codes
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -644,6 +875,25 @@ class GraphManager:
                 "frame area %% 8 != 0; tpu_gray_bits=5 falls back to 6"
             )
             self.gray_bits = 6
+        # temporal-delta wire coding (P-frames predict from the previous
+        # frame's reconstructed codes; see _unpack_yc12_delta)
+        self.wire_delta = bool(p["tpu_wire_delta"])
+        if self.wire_delta and not (
+            self.ingest_fmt == "yc12"
+            and self.gray_bits == 6
+            and self.depth_bits == 10
+            and (cam.height * cam.width) % 2 == 0
+            and ((cam.height // s) * (cam.width // s)) % 8 == 0
+        ):
+            logger.warning(
+                "tpu_wire_delta needs yc12/gray6/depth10 and aligned frame "
+                "sizes; disabled"
+            )
+            self.wire_delta = False
+        self._wire_qg: Optional[np.ndarray] = None  # host mirror, luma codes
+        self._wire_qd: Optional[np.ndarray] = None  # host mirror, depth codes
+        self._wire_dev = None  # device-side (qg, qd) from the last fast step
+        self._wire_synced = False  # device state matches the host mirror
         self.cam_small = Intrinsics(
             fx=cam.fx / s,
             fy=cam.fy / s,
@@ -1003,15 +1253,8 @@ class GraphManager:
         scalar result pull, one donated commit — plus an amortized optimize.
         """
         p = self.params
-        if compact is None:
-            compact = compact_frame(rgb, depth, self.emm_stride,
-                                    fmt=self.ingest_fmt,
-                                    gray_bits=self.gray_bits,
-                                    depth_bits=self.depth_bits)
-
         new_id0 = self.n_nodes
-        # ---- fast path: whole step decided and committed on device --------
-        if (
+        fast = (
             new_id0 > 0
             and p["keep_all_nodes"]
             and self.mapping_enabled
@@ -1019,10 +1262,24 @@ class GraphManager:
             and not p["use_robot_odom_only"]
             and p["min_translation_meter"] <= 0
             and p["min_rotation_degree"] <= 0
-        ):
+        )
+        if compact is None:
+            if self.wire_delta and fast:
+                # encode at dispatch time so the host mirror and the device
+                # wire state advance in lockstep (a P-frame is only valid
+                # against the state the device actually holds)
+                compact = self._wire_encode(rgb, depth)
+            else:
+                compact = compact_frame(rgb, depth, self.emm_stride,
+                                        fmt=self.ingest_fmt,
+                                        gray_bits=self.gray_bits,
+                                        depth_bits=self.depth_bits)
+        # ---- fast path: whole step decided and committed on device --------
+        if fast:
             if new_id0 >= self.n_cap:
                 raise RuntimeError("node capacity exceeded")
             return self._add_frame_device(compact, timestamp, new_id0, new_id0 - 1)
+        self._wire_synced = False  # slow-path frames bypass the delta state
 
         kp, depth_small, color_small = _prepare_and_extract(
             self.extractor,
@@ -1331,7 +1588,50 @@ class GraphManager:
             const_pos_information=p["constant_position_information"],
             keep_all=True,
             use_feature_min_depth=p["use_feature_min_depth"],
+            wire_delta=self.wire_delta,
         )
+
+    def _wire_dev_init(self):
+        """Zero device wire state: I-frames ignore it (they rebuild state
+        from their own codes) but passing a consistent pytree structure
+        keeps the step at two compiled variants (I and P) instead of three.
+        """
+        if self._wire_dev is None:
+            s = self.emm_stride
+            self._wire_dev = (
+                jnp.zeros((self.cam.height, self.cam.width), jnp.uint8),
+                jnp.zeros(
+                    (self.cam.height // s, self.cam.width // s), jnp.uint16
+                ),
+            )
+        return self._wire_dev
+
+    def _wire_encode(self, rgb, depth) -> np.ndarray:
+        """Delta-aware host wire encoder for the fast path: ship a P-frame
+        (residuals vs the mirrored device reconstruction) when the device
+        state is synced and the clamp budget holds; otherwise an absolute
+        I-frame (whose codes _add_frame_device reads back into the mirror).
+        """
+        if self._wire_synced and self._wire_qg is not None:
+            out = delta_encode(
+                rgb, depth, self._wire_qg, self._wire_qd, self.emm_stride,
+                self.params["tpu_wire_delta_max_clamp"],
+            )
+            if out is not None:
+                packed, self._wire_qg, self._wire_qd = out
+                return packed
+        packed = compact_frame(rgb, depth, self.emm_stride, fmt="yc12",
+                               gray_bits=self.gray_bits,
+                               depth_bits=self.depth_bits)
+        self._wire_qg, self._wire_qd = _host_unpack_codes(
+            packed, self.cam.height, self.cam.width, self.emm_stride,
+            self.gray_bits, self.depth_bits,
+        )
+        # valid because every _wire_encode caller dispatches this buffer
+        # through the delta fast path next (the device rebuilds its state
+        # from the I-frame codes)
+        self._wire_synced = True
+        return packed
 
     def _frame_slots(self, new_id: int, timestamp: float):
         """Candidate selection + padding + dt vector for one frame of the
@@ -1390,12 +1690,16 @@ class GraphManager:
         e0 = self.n_edges
         e1 = e0 + B + 1
         self._seed_counter += 2
-        self.store, self.graph, sum0, sum1 = slam_step2(
+        if len(compact0) == len(compact1) and isinstance(
+            compact0, np.ndarray
+        ) and isinstance(compact1, np.ndarray):
+            packed2 = np.stack([compact0, compact1])  # ONE h2d buffer
+        else:  # delta-wire I/P mix: lengths differ, ship as a 2-tuple
+            packed2 = (compact0, compact1)
+        self.store, self.graph, sum0, sum1, new_wire = slam_step2(
             self.store,
             self.graph,
-            jnp.stack([jnp.asarray(compact0), jnp.asarray(compact1)])
-            if not isinstance(compact0, np.ndarray)
-            else np.stack([compact0, compact1]),
+            packed2,
             np.asarray([id0, id1], np.int32),
             np.asarray([id0 - 1, id1 - 1], np.int32),
             np.asarray([pad0, pad1], np.int32),
@@ -1405,8 +1709,12 @@ class GraphManager:
             np.asarray(
                 [self._seed_counter - 1, self._seed_counter], np.uint32
             ),
+            self._wire_dev_init() if self.wire_delta else None,
             **self._step_cfg(),
         )
+        if self.wire_delta:
+            self._wire_dev = new_wire
+            self._wire_synced = True
         for new_id, padded, e_start, summary, ts in (
             (id0, pad0, e0, sum0, ts0),
             (id1, pad1, e1, sum1, ts1),
@@ -1452,13 +1760,26 @@ class GraphManager:
         edge_start = self.n_edges
         if edge_start + B + 1 > self.e_cap:
             raise RuntimeError("edge capacity exceeded")
+        if self.wire_delta and len(compact) == wire_intra_len(
+            self.cam.height, self.cam.width, self.emm_stride,
+            self.gray_bits, self.depth_bits,
+        ):
+            # absolute I-frame entering the delta path (first fast frame,
+            # clamp fallback, or a precomputed buffer): refresh the host
+            # mirror from the wire codes themselves so it matches the
+            # device reconstruction bit-for-bit
+            self._wire_qg, self._wire_qd = _host_unpack_codes(
+                np.asarray(compact), self.cam.height, self.cam.width,
+                self.emm_stride, self.gray_bits, self.depth_bits,
+            )
         # All small args go in as NUMPY values: eager jnp.asarray on the host
         # dispatches one tiny device op per argument (~1 ms each through the
         # tunnel); jit bundles numpy args into the call instead.
         # TWO queued dispatches: compute (reads state) then commit (donated
         # scatter-only) — see device_step._commit_body for why the split.
         self._seed_counter += 1
-        rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary = \
+        (rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary,
+         new_wire) = \
             slam_compute(
                 self.store,
                 self.graph,
@@ -1469,8 +1790,12 @@ class GraphManager:
                 np.asarray(dup, bool),
                 np.asarray(dts, np.float32),
                 np.uint32(self._seed_counter),
+                self._wire_dev_init() if self.wire_delta else None,
                 **self._step_cfg(),
             )
+        if self.wire_delta:
+            self._wire_dev = new_wire
+            self._wire_synced = True
         self.store, self.graph = slam_commit(
             self.store, self.graph, rows, new_pose,
             np.int32(new_id), np.int32(edge_start),
@@ -2318,3 +2643,7 @@ class GraphManager:
                 self.edge_i_host[e], self.edge_j_host[e] = pair
         self._nodes_opt_watermark = meta.get("nodes_opt_watermark", self.n_nodes)
         self._kp_count0 = meta.get("kp_count0", -1)
+        # a resumed run continues from an arbitrary stream position: the
+        # delta-wire reconstruction no longer matches the next frame's
+        # predecessor, so the first post-load frame ships absolute
+        self._wire_synced = False

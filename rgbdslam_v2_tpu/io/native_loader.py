@@ -69,6 +69,13 @@ def _ensure_built():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.compact_delta.restype = ctypes.c_int
+        lib.compact_delta.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception as e:  # toolchain/libpng missing — callers fall back
         _build_error = str(e)
@@ -159,6 +166,65 @@ def decode_depth(path, width=640, height=480) -> np.ndarray:
     if lib.decode_depth_png(str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), width, height):
         raise RuntimeError(f"decode failed: {path}")
     return out.astype(np.float32) / 5000.0
+
+
+def delta_encode_native(rgb, depth, prev_qg, prev_qd, stride: int,
+                        max_clamp: float):
+    """Single-pass C temporal-delta (P) wire encoder.
+
+    Bit-exact twin of the numpy path in graph.manager.delta_encode; advances
+    the prev_qg/prev_qd mirrors IN PLACE on success. Returns
+    (packed, prev_qg, prev_qd) on success, the string "clamped" when the
+    clamp budget is exceeded (caller ships an I-frame; the mirrors were
+    still advanced but the caller overwrites them from the I-frame codes),
+    or None when the native library or input layout is unsupported (caller
+    falls back to numpy)."""
+    lib = _ensure_built()
+    if lib is None or not hasattr(lib, "compact_delta"):
+        return None
+    rgb = np.asarray(rgb)
+    depth = np.asarray(depth)
+    if depth.ndim != 2:
+        return None
+    H, W = depth.shape
+    rgb_p = gray_p = None
+    if rgb.ndim == 3 and rgb.dtype == np.uint8 and rgb.shape == (H, W, 3):
+        rgb_c = np.ascontiguousarray(rgb)
+        rgb_p = rgb_c.ctypes.data_as(ctypes.c_void_p)
+    elif rgb.ndim == 2 and rgb.dtype == np.uint8 and rgb.shape == (H, W):
+        gray_c = np.ascontiguousarray(rgb)
+        gray_p = gray_c.ctypes.data_as(ctypes.c_void_p)
+    else:
+        return None
+    d16_p = df_p = None
+    if depth.dtype == np.uint16:
+        d16_c = np.ascontiguousarray(depth)
+        d16_p = d16_c.ctypes.data_as(ctypes.c_void_p)
+    elif depth.dtype == np.float32:
+        df_c = np.ascontiguousarray(depth)
+        df_p = df_c.ctypes.data_as(ctypes.c_void_p)
+    else:
+        return None
+    if not (prev_qg.flags.c_contiguous and prev_qd.flags.c_contiguous):
+        return None
+    h, w = H // stride, W // stride
+    cm = 4 if (H % (4 * stride) == 0 and W % (4 * stride) == 0) else 2
+    cs = cm * stride
+    n_out = H * W // 2 + (h * w // 8) * 5 + 2 * (H // cs) * (W // cs)
+    out = np.empty(n_out, np.uint8)
+    budget = int(max_clamp * (H * W + h * w))
+    n = lib.compact_delta(
+        rgb_p, gray_p, d16_p, df_p,
+        prev_qg.ctypes.data_as(ctypes.c_void_p),
+        prev_qd.ctypes.data_as(ctypes.c_void_p),
+        H, W, int(stride), int(cm), budget,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if n == -2:
+        return "clamped"
+    if n <= 0:
+        return None
+    return out[:n], prev_qg, prev_qd
 
 
 def compact_yc12(rgb, depth, stride: int, gray_bits: int,

@@ -70,9 +70,24 @@ class SyntheticWorld:
         texture_size: int = 512,
         cam: Intrinsics = TUM_DEFAULT,
         n_boxes: int = 5,
+        texture_contrast=1.0,
     ) -> "SyntheticWorld":
+        """texture_contrast scales each face's texture contrast about its
+        mean: 1.0 = normal; a 6-tuple gives per-face values (faces ordered
+        x-,x+,y-,y+,z-,z+). Values near 0 make walls near-featureless —
+        the detector-adjuster / ICP-rescue stress world (the reference's
+        low-texture failure mode, e.g. fr2_large_no_loop's 3 m ATE)."""
         rng = np.random.default_rng(seed)
         tex = np.stack([_make_face_texture(rng, texture_size) for _ in range(6)])
+        contrasts = (
+            (float(texture_contrast),) * 6
+            if np.isscalar(texture_contrast)
+            else tuple(float(c) for c in texture_contrast)
+        )
+        for f, c in enumerate(contrasts):
+            if c != 1.0:
+                mean = tex[f].mean(axis=(0, 1), keepdims=True)
+                tex[f] = np.clip(mean + (tex[f] - mean) * c, 0.0, 1.0)
         Lx, Ly, Lz = extent
         boxes = []
         # Furniture along the walls / floor, outside the camera orbit region
@@ -157,6 +172,39 @@ class SyntheticWorld:
         right = right / jnp.linalg.norm(right, axis=-1, keepdims=True)
         down = jnp.cross(fwd, right)  # camera y points down
         R = jnp.stack([right, down, fwd], axis=-1)  # columns: x=right, y=down, z=fwd
+        return se3.from_rt(R, pos)
+
+    def spin_trajectory(self, n_frames: int, seed: int = 1,
+                        deg_per_frame: float = 3.0) -> jnp.ndarray:
+        """fr1_360-class motion: near-in-place yaw spin (the hardest TUM
+        fr1 class — reference ATE 0.051 m, test/README:87). Almost pure
+        rotation gives minimal parallax (weak RANSAC geometry), fast image
+        motion (default 3 deg/frame = 90 deg/s at 30 Hz), and frames that
+        leave the field of view within ~20 frames (loop closures only on
+        full revolutions). A small positional wobble keeps depth parallax
+        nonzero like a handheld camera."""
+        Lx, Ly, Lz = self.extent
+        t = jnp.arange(n_frames) * (deg_per_frame * jnp.pi / 180.0)
+        rng = np.random.default_rng(seed)
+        ph = float(rng.uniform(0, 2 * np.pi))
+        pos = jnp.stack(
+            [
+                Lx / 2 + 0.03 * Lx * jnp.sin(2.1 * t + ph),
+                Ly / 2 + 0.03 * Ly * jnp.cos(1.7 * t + ph),
+                Lz / 2 + 0.05 * jnp.sin(3.0 * t),
+            ],
+            axis=-1,
+        )
+        yaw = t + ph
+        fwd = jnp.stack(
+            [jnp.cos(yaw), jnp.sin(yaw), 0.12 * jnp.sin(2.0 * t)], axis=-1
+        )
+        fwd = fwd / jnp.linalg.norm(fwd, axis=-1, keepdims=True)
+        up = jnp.array([0.0, 0.0, 1.0])
+        right = jnp.cross(fwd, up)
+        right = right / jnp.linalg.norm(right, axis=-1, keepdims=True)
+        down = jnp.cross(fwd, right)
+        R = jnp.stack([right, down, fwd], axis=-1)
         return se3.from_rt(R, pos)
 
 
@@ -265,19 +313,43 @@ def _render(textures, extent, boxes, world_T_cam, cam: Intrinsics):
     return rgb, depth
 
 
+def _dropout_mask(key, H: int, W: int, n_holes: int):
+    """Elliptical depth holes (specular/absorbing surface dropout — the
+    Kinect's black-surface and grazing-angle failure): (H, W) bool, True
+    where depth is INVALID."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    cy = jax.random.uniform(k1, (n_holes,)) * H
+    cx = jax.random.uniform(k2, (n_holes,)) * W
+    rad = jax.random.uniform(k3, (n_holes, 2), minval=0.02, maxval=0.09)
+    ry = rad[:, 0] * H
+    rx = rad[:, 1] * W
+    yy = jnp.arange(H)[:, None, None].astype(jnp.float32)
+    xx = jnp.arange(W)[None, :, None].astype(jnp.float32)
+    d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+    return jnp.any(d < 1.0, axis=-1)
+
+
 def render_sequence(
     world: SyntheticWorld,
     n_frames: int,
     seed: int = 1,
     depth_noise_sigma: float = 0.0,
     batch: int = 16,
+    trajectory=None,
+    depth_dropout: int = 0,
 ):
     """Render a full trajectory -> (poses (N,4,4), rgb uint8 (N,H,W,3), depth (N,H,W)).
 
     depth_noise_sigma > 0 adds Kinect-style quadratic depth noise and 1/5000
-    quantization (the TUM recording format).
-    """
-    poses = world.orbit_trajectory(n_frames, seed=seed)
+    quantization (the TUM recording format). trajectory overrides the
+    default orbit with explicit (N,4,4) poses (e.g. spin_trajectory).
+    depth_dropout > 0 punches that many random elliptical invalid-depth
+    holes per frame (specular/absorbing surfaces)."""
+    poses = (
+        jnp.asarray(trajectory)
+        if trajectory is not None
+        else world.orbit_trajectory(n_frames, seed=seed)
+    )
     rgbs, depths = [], []
     key = jax.random.PRNGKey(seed)
     for s in range(0, n_frames, batch):
@@ -291,6 +363,14 @@ def render_sequence(
             noise = jax.random.normal(k1, depth.shape) * depth_noise_sigma * depth * depth
             depth = jnp.where(depth > 0, depth + noise, 0.0)
             depth = jnp.round(depth * 5000.0) / 5000.0
+        if depth_dropout > 0:
+            key, k2 = jax.random.split(key)
+            holes = jax.vmap(
+                lambda k: _dropout_mask(
+                    k, depth.shape[1], depth.shape[2], depth_dropout
+                )
+            )(jax.random.split(k2, depth.shape[0]))
+            depth = jnp.where(holes, 0.0, depth)
         n = batch - pad
         rgbs.append(np.asarray((rgb[:n] * 255).astype(jnp.uint8)))
         depths.append(np.asarray(depth[:n]))

@@ -34,7 +34,10 @@ host-incremental and does not batch).
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Dict, List, Optional
+
+logger = logging.getLogger("rgbdslam.parallel")
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +159,19 @@ class MultiSequenceSlam:
     """S concurrent full-SLAM instances batched on the device (optionally
     sharded over a mesh). Frames advance in lockstep across sequences."""
 
+    # Single-sequence-only features (PARITY.md §2.3): requesting them here
+    # warns and force-disables, so the batched path's contract is explicit
+    # code, not prose. (name, is_requested, neutral value)
+    UNSUPPORTED = (
+        ("global_loop_candidates", lambda v: v > 0, 0),  # appearance retrieval
+        ("use_robot_odom", bool, False),
+        ("use_robot_odom_only", bool, False),
+        ("tpu_wire_delta", bool, False),  # serial host-loop wire optimization
+        # incremental 'inaffected' fixation needs per-sequence affected-set
+        # tracking; the batched optimize uses whole-graph first-fixation
+        ("pose_relative_to", lambda v: v == "inaffected", "first"),
+    )
+
     def __init__(
         self,
         cam: Intrinsics,
@@ -165,6 +181,13 @@ class MultiSequenceSlam:
         extractor=None,
     ):
         self.params = p = params or default_params()
+        for name, requested, neutral in self.UNSUPPORTED:
+            if requested(p[name]):
+                logger.warning(
+                    "MultiSequenceSlam does not support %s (single-sequence "
+                    "path only; PARITY.md §2.3); forcing %r", name, neutral
+                )
+                p.set(name, neutral)
         self.cam = cam
         self.S = S = int(n_sequences)
         self.mesh = mesh
@@ -194,6 +217,9 @@ class MultiSequenceSlam:
                 oriented=p["feature_extractor_type"].upper() != "BRIEF",
             )
         # one GraphManager-identical static config for the device programs
+        # (temporal-delta wire coding is a serial host-loop optimization;
+        # the batched multi-sequence path ships absolute frames)
+        self.wire_delta = False
         self._cfg = dict(GraphManager._step_cfg(self))
         # ---- batched device state (leading axis S) -----------------------
         is_sift = "Sift" in type(self.extractor).__name__
@@ -338,7 +364,7 @@ class MultiSequenceSlam:
             np.int32(new_id), np.int32(new_id - 1),
             pad, dup, dts, seeds,
         )
-        rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary = out
+        rows, new_pose, e_i, e_j, e_meas, e_info, e_active, summary, _ = out
         self.store, self.graph = self._commit(
             self.store, self.graph, rows, new_pose,
             np.int32(new_id), np.int32(edge_start),

@@ -245,6 +245,7 @@ class SlamPipeline:
         db = self.manager.depth_bits
 
         pair = p["tpu_frames_per_step"] >= 2
+        delta = self.manager.wire_delta
         k = 0
         while k < len(idxs):
             i = idxs[k]
@@ -255,8 +256,12 @@ class SlamPipeline:
             # tunnel: the direct argument is the fastest and the least
             # variable (the tunnel serializes transfer and compute anyway,
             # so prefetch buys nothing and extra dispatches cost latency).
-            cpt = compact_frame(rgbs[i], depths[i], stride, fmt=fmt, gray_bits=gb,
-                                depth_bits=db)
+            # In delta-wire mode the manager encodes at dispatch time
+            # instead (the host mirror must advance in lockstep with the
+            # device state), so cpt stays None here.
+            cpt = None if delta else compact_frame(
+                rgbs[i], depths[i], stride, fmt=fmt, gray_bits=gb,
+                depth_bits=db)
             if self.live_dir is not None:
                 self._last_rgb = rgbs[i]
             if (
@@ -267,8 +272,15 @@ class SlamPipeline:
             ):
                 # two frames fused into ONE device dispatch (slam_step2)
                 j = idxs[k + 1]
-                cpt2 = compact_frame(rgbs[j], depths[j], stride, fmt=fmt, gray_bits=gb,
-                                depth_bits=db)
+                if delta:
+                    # sequential encodes: frame j's P-frame predicts from
+                    # frame i's freshly advanced mirror, exactly as the
+                    # fused device program reconstructs them in order
+                    cpt = self.manager._wire_encode(rgbs[i], depths[i])
+                    cpt2 = self.manager._wire_encode(rgbs[j], depths[j])
+                else:
+                    cpt2 = compact_frame(rgbs[j], depths[j], stride, fmt=fmt,
+                                         gray_bits=gb, depth_bits=db)
                 t0 = time.perf_counter()
                 self.manager.add_frame_pair(
                     cpt, float(stamps[i]), cpt2, float(stamps[j])
@@ -295,7 +307,11 @@ class SlamPipeline:
                 if (gt_poses is not None and self.manager.n_nodes == 0)
                 else None
             )
-            self.process_frame(None, None, float(stamps[i]), gt, compact=cpt)
+            if delta:
+                self.process_frame(rgbs[i], depths[i], float(stamps[i]), gt)
+            else:
+                self.process_frame(None, None, float(stamps[i]), gt,
+                                   compact=cpt)
             k += 1
 
     def run_bag(self, bag_path, max_frames: Optional[int] = None) -> None:

@@ -75,6 +75,44 @@ def test_brisk_family_ate_within_2x_of_orb(synthetic_seq):
     assert ates["BRISK"] < max(2.0 * ates["ORB"], ates["ORB"] + 0.005)
 
 
+def test_delta_wire_matches_absolute_ate(synthetic_seq):
+    """tpu_wire_delta end to end: the temporal-delta wire (P-frames of
+    4-bit luma + 5-bit depth-code residuals) must not cost accuracy vs the
+    absolute yc12 wire on the contract sequence. On a low-motion sequence
+    residuals rarely clamp, so the trajectories should agree to sub-mm."""
+    poses, rgbs, depths, stamps = synthetic_seq
+    ates = {}
+    for delta in (False, True):
+        pipe = SlamPipeline(CAM, _params(tpu_wire_delta=delta))
+        pipe.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+        assert pipe.manager.n_nodes >= N_FRAMES - 3
+        est_stamps, est_poses = pipe.manager.trajectory()
+        res = evaluate_ate(
+            est_stamps, est_poses[:, :3, 3], list(stamps), poses[:, :3, 3]
+        )
+        ates[delta] = res.rmse
+    print(f"[A/B] ATE absolute {ates[False]:.5f} vs delta {ates[True]:.5f} m")
+    assert ates[True] < 0.05
+    assert abs(ates[True] - ates[False]) < 0.002
+
+
+def test_delta_wire_paired_step(synthetic_seq):
+    """tpu_wire_delta + tpu_frames_per_step=2: the fused two-frame dispatch
+    threads the wire state through both frames (frame 1 predicts from frame
+    0's in-program reconstruction)."""
+    poses, rgbs, depths, stamps = synthetic_seq
+    pipe = SlamPipeline(
+        CAM, _params(tpu_wire_delta=True, tpu_frames_per_step=2)
+    )
+    pipe.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+    assert pipe.manager.n_nodes >= N_FRAMES - 3
+    est_stamps, est_poses = pipe.manager.trajectory()
+    res = evaluate_ate(
+        est_stamps, est_poses[:, :3, 3], list(stamps), poses[:, :3, 3]
+    )
+    assert res.rmse < 0.05, f"ATE rmse {res.rmse}"
+
+
 def test_evaluation_protocol_improves_or_holds(tmp_path, synthetic_seq):
     poses, rgbs, depths, stamps = synthetic_seq
     pipe = SlamPipeline(CAM, _params())

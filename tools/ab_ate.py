@@ -56,6 +56,10 @@ VARIANTS = {
     # fused two-frame step (halves dispatches; bit-identical per unit test)
     "fps2": dict(tpu_frames_per_step=2),
     "fps2-gray5": dict(tpu_frames_per_step=2, tpu_gray_bits=5),
+    # temporal-delta wire (round-4 lever: 336 -> 211 KB/frame P-frames;
+    # I-frames auto-fire on clamp-budget overflow, so ATE floor = absolute)
+    "delta": dict(tpu_wire_delta=True),
+    "delta-fps2": dict(tpu_wire_delta=True, tpu_frames_per_step=2),
 }
 
 names = sys.argv[1:] or list(VARIANTS)

@@ -10,9 +10,10 @@
 # (then the axon plugin is never registered). While the queue is running,
 # /tmp/tpu_busy exists — avoid heavy CPU work during that window.
 #
-# Usage: bash tools/r4_tpu_watch.sh [max_hours]   (background it)
+# Usage: bash tools/r4_tpu_watch.sh [max_hours] [queue.sh]  (background it)
 set -u
 MAX_HOURS=${1:-11}
+QUEUE=${2:-r4_tpu_queue.sh}
 LOG=/tmp/r4_watch.log
 DEADLINE=$(( $(date +%s) + MAX_HOURS * 3600 ))
 echo "=== r4 watch start $(date), deadline in ${MAX_HOURS}h" | tee -a "$LOG"
@@ -23,12 +24,12 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
       2>>"$LOG" | grep -q ok; then
     echo "=== tunnel UP at $(date) (probe $i)" | tee -a "$LOG"
     SNAP=/tmp/bench_snap_$(date +%s)
-    mkdir -p "$SNAP"
+    mkdir -p "$SNAP" /root/repo/.bench_cache
     git -C /root/repo archive HEAD | tar -x -C "$SNAP"
     ln -sfn /root/repo/.bench_cache "$SNAP/.bench_cache"
     echo "=== snapshot of $(git -C /root/repo rev-parse --short HEAD) at $SNAP" | tee -a "$LOG"
     touch /tmp/tpu_busy
-    bash "$SNAP/tools/r4_tpu_queue.sh"
+    bash "$SNAP/tools/$QUEUE"
     rm -f /tmp/tpu_busy
     echo "=== r4 watch done $(date)" | tee -a "$LOG"
     exit 0
