@@ -236,6 +236,14 @@ def main():
     except Exception as exc:
         print(f"[bench] device table failed: {exc}", file=sys.stderr)
 
+    # ---- per-stage roofline: FLOPs/HBM-bytes vs device time (stderr) -------
+    try:
+        from rgbdslam_v2_tpu.utils.roofline import report as roofline_report
+
+        roofline_report(pipe.manager, rgbs[-1], depths[-1])
+    except Exception as exc:
+        print(f"[bench] roofline failed: {exc}", file=sys.stderr)
+
     fr2_str = ""
     if fr2:
         fr2_str = (

@@ -60,6 +60,11 @@ VARIANTS = {
     # I-frames auto-fire on clamp-budget overflow, so ATE floor = absolute)
     "delta": dict(tpu_wire_delta=True),
     "delta-fps2": dict(tpu_wire_delta=True, tpu_frames_per_step=2),
+    # round-4 L1 bisect: 12-bit depth + full luma (is the residual 0.03 vs
+    # 0.0195 gap wire precision at all?); raw-8 is the round-2 lossless
+    # ingest — if raw-8 reads ~0.025+ on the re-rendered cache, the "L1
+    # regression" is the data/run-variance, not the wire
+    "d12-gray8": dict(tpu_depth_bits=12, tpu_gray_bits=8),
 }
 
 names = sys.argv[1:] or list(VARIANTS)
