@@ -920,11 +920,11 @@ class GraphManager:
                 use_root_sift=p["squareroot_descriptor_space"],
             )
         else:
-            known = ("ORB", "FAST", "BRIEF", "BRISK")
+            known = ("ORB", "FAST", "BRIEF", "BRISK", "FREAK")
             for f in family:
                 if f not in known:
                     # the reference warns + falls back to ORB for unbuilt
-                    # families (SURF/FREAK; features.cpp:144-160)
+                    # families (SURF; features.cpp:144-160)
                     logger.warning(
                         "feature family %s not built; falling back to ORB "
                         "(reference behavior, features.cpp:144-160)", f
@@ -934,9 +934,12 @@ class GraphManager:
                 fast_threshold=0.06,
                 grid=p["detector_grid_resolution"] + 1,
                 # 'BRIEF' extractor = un-steered binary tests; 'BRISK' =
-                # smoothed ring pairs (features.cpp:135-160, ops/brisk.py)
+                # smoothed ring pairs (ops/brisk.py); 'FREAK' = retinal
+                # fields (ops/freak.py) — features.cpp:135-160
                 oriented=family[1] != "BRIEF",
-                descriptor="brisk" if family[1] == "BRISK" else "brief",
+                descriptor={"BRISK": "brisk", "FREAK": "freak"}.get(
+                    family[1], "brief"
+                ),
                 approx_select=p["tpu_approx_select"],
             )
         desc_dim = (

@@ -42,9 +42,10 @@ class OrbExtractor:
     # extractor family, features.cpp:115-161): no rotation invariance,
     # cheaper matching for small-rotation rigs.
     oriented: bool = True
-    # descriptor family: 'brief' (steered BRIEF, 256 bits — ORB's) or
+    # descriptor family: 'brief' (steered BRIEF, 256 bits — ORB's),
     # 'brisk' (smoothed concentric-ring pairs, 512 bits — the reference's
-    # BRISK extractor, features.cpp:135-160; see ops/brisk.py).
+    # BRISK extractor, features.cpp:135-160; see ops/brisk.py), or 'freak'
+    # (retinal coarse-to-fine fields, 512 bits; see ops/freak.py).
     descriptor: str = "brief"
     # Fused Pallas detect kernel (FAST+Harris+NMS in one VMEM pass): exact
     # match to the XLA path. Once description moved to the gather-free
@@ -59,9 +60,7 @@ class OrbExtractor:
 
     @property
     def desc_bits(self) -> int:
-        from ..ops import brisk as brisk_ops
-
-        return brisk_ops.BRISK_BITS if self.descriptor == "brisk" else 256
+        return 512 if self.descriptor in ("brisk", "freak") else 256
 
     def level_shapes(self, H: int, W: int) -> Sequence[tuple]:
         out = []
@@ -111,15 +110,22 @@ class OrbExtractor:
             # Describe on the LEVEL image (classic ORB: scale-correct patch
             # support), via patch-slice + MXU binned tests — no per-sample
             # gathers (ops/orb.py describe_patches / ops/brisk.py).
-            if self.descriptor == "brisk":
-                from ..ops import brisk as brisk_ops
-
-                # BRISK smooths via its per-ring Gaussian footprints: feed
-                # RAW level patches, not pre-blurred ones.
+            if self.descriptor in ("brisk", "freak"):
+                # BRISK/FREAK smooth via their own per-field Gaussian
+                # footprints: feed RAW level patches, not pre-blurred ones.
                 patches = orb_ops.extract_patches(img_l, uv)
-                theta_l, desc_l = brisk_ops.describe_patches_brisk(
-                    patches, self.oriented
-                )
+                if self.descriptor == "brisk":
+                    from ..ops import brisk as brisk_ops
+
+                    theta_l, desc_l = brisk_ops.describe_patches_brisk(
+                        patches, self.oriented
+                    )
+                else:
+                    from ..ops import freak as freak_ops
+
+                    theta_l, desc_l = freak_ops.describe_patches_freak(
+                        patches, self.oriented
+                    )
             else:
                 blur_l = orb_ops.gaussian_blur(img_l, 2.0)
                 patches = orb_ops.extract_patches(blur_l, uv)

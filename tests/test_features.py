@@ -281,10 +281,84 @@ def test_manager_brief_family_selected():
     m = GraphManager(cam, params)
     assert m.extractor.oriented is False
     params2 = ParameterServer(dict(
-        feature_extractor_type="FREAK", max_keypoints=64, tpu_max_nodes=4,
+        feature_extractor_type="SURF", max_keypoints=64, tpu_max_nodes=4,
         tpu_max_edges=32, tpu_candidate_batch=2))
     m2 = GraphManager(cam, params2)  # warns, falls back to ORB
     assert m2.extractor.oriented is True
+    assert m2.extractor.descriptor == "brief"
+
+
+def test_freak_descriptor_properties():
+    """FREAK family (features.cpp:135-160; ops/freak.py): 512-bit ±1
+    retinal descriptors — translation-stable, distinct across keypoints,
+    rotation-steered, and decorrelated from BRISK (a different family,
+    not a renamed one)."""
+    from rgbdslam_v2_tpu.ops import brisk as brisk_ops
+    from rgbdslam_v2_tpu.ops import freak as freak_ops
+
+    img = _block_texture(seed=6)
+    sm_uv = jnp.asarray([[100.0, 100.0], [150.0, 80.0], [200.0, 160.0],
+                         [60.0, 60.0]])
+    patches = orb_ops.extract_patches(img, sm_uv)
+    theta, d1 = freak_ops.describe_patches_freak(patches)
+    assert d1.shape == (4, 512) and d1.dtype == jnp.int8
+    assert set(np.unique(np.asarray(d1)).tolist()) <= {-1, 1}
+
+    shifted = jnp.roll(img, (5, 9), axis=(0, 1))
+    p2 = orb_ops.extract_patches(shifted, sm_uv + jnp.asarray([[9.0, 5.0]]))
+    _, d2 = freak_ops.describe_patches_freak(p2)
+    ham = np.asarray(matching.descriptor_distances(d1, d2))
+    diag = np.diag(ham)
+    off = ham + np.eye(4) * 1e9
+    assert (diag < 60).all()
+    assert (off.min(1) > diag + 20).all()
+
+    # 90-degree rotation: oriented steering beats unoriented
+    H, W = img.shape
+    rot = jnp.rot90(img)
+    uv_rot = jnp.stack([sm_uv[:, 1], (W - 1) - sm_uv[:, 0]], axis=-1)
+    pr = orb_ops.extract_patches(rot, uv_rot)
+    _, dr_o = freak_ops.describe_patches_freak(pr, oriented=True)
+    _, d1_u = freak_ops.describe_patches_freak(patches, oriented=False)
+    _, dr_u = freak_ops.describe_patches_freak(pr, oriented=False)
+    ham_o = np.diag(np.asarray(matching.descriptor_distances(d1, dr_o)))
+    ham_u = np.diag(np.asarray(matching.descriptor_distances(d1_u, dr_u)))
+    assert ham_o.mean() < ham_u.mean() - 20
+
+    # distinct family: FREAK bits are not a permutation of BRISK bits —
+    # cross-family agreement on the same patches stays near chance
+    _, db = brisk_ops.describe_patches_brisk(patches)
+    agree = (np.asarray(d1) == np.asarray(db)).mean()
+    assert 0.3 < agree < 0.7
+
+
+def test_freak_extractor_and_manager_selection():
+    """OrbExtractor(descriptor='freak') yields valid 512-bit keypoints and
+    feature_extractor_type=FREAK selects it (no ORB fallback)."""
+    from rgbdslam_v2_tpu.config import ParameterServer
+    from rgbdslam_v2_tpu.graph.manager import GraphManager
+
+    rng = np.random.default_rng(3)
+    img = _block_texture(seed=3)
+    depth = jnp.asarray(
+        rng.uniform(0.5, 3.0, (240, 320)).astype(np.float32))
+    ex = OrbExtractor(max_keypoints=128, descriptor="freak")
+    assert ex.desc_bits == 512
+    kp = ex(img, min_depth_map(depth, depth > 0), CAM)
+    assert kp.desc.shape == (128, 512)
+    k = np.asarray(kp.valid)
+    assert k.sum() > 64
+    d = np.asarray(kp.desc)[k]
+    assert len(np.unique(d, axis=0)) > 0.9 * k.sum()
+
+    cam = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+                     width=160, height=120)
+    params = ParameterServer(dict(
+        feature_extractor_type="FREAK", max_keypoints=64, tpu_max_nodes=4,
+        tpu_max_edges=32, tpu_candidate_batch=2))
+    m = GraphManager(cam, params)
+    assert m.extractor.descriptor == "freak"
+    assert m.store.desc.shape[-1] == 512
 
 
 def test_select_keypoints_grid_approx_matches_exact_on_cpu():
