@@ -153,6 +153,9 @@ def cmd_run(args):
     if args.save_octomap:
         pipe.save_octomap(out / "map.ot")
         print("saved map.ot")
+    if args.save_mesh:
+        n = pipe.save_mesh(out / "mesh.ply")
+        print(f"saved mesh.ply ({n} triangles)")
     if args.save_g2o:
         pipe.save_g2o(out / "graph.g2o")
         print("saved graph.g2o")
@@ -458,11 +461,32 @@ def cmd_view(args):
                 root / "map.ot")
             occ = probs > 0.5
             vox, vox_cols = vox[occ], vox_cols[occ]
+        mesh = None
+        if (root / "mesh.ply").exists():
+            # triangle-mesh layer (run --save-mesh output; glviewer.cpp:776)
+            from ..io.meshing import read_ply_mesh
+
+            mesh = read_ply_mesh(root / "mesh.ply")
+        sigmas = None
+        if traj is not None and len(traj) and len(points):
+            # sigma ellipsoid mode (glviewer.cpp:922): splat size from the
+            # quadratic depth-noise model at each point's distance to the
+            # nearest camera pose (sigma_depth * z^2, core/noise.py)
+            import numpy as _np
+
+            centers = _np.asarray(traj)[:: max(1, len(traj) // 64), :3, 3]
+            z = _np.full(len(points), _np.inf, _np.float32)
+            for i in range(0, len(points), 65536):
+                d = _np.linalg.norm(
+                    points[i:i + 65536, None, :] - centers[None], axis=-1)
+                z[i:i + 65536] = d.min(1)
+            sigmas = (0.01 * z * z).astype(_np.float32)
         html_path = args.html or str(root / "viewer.html")
         out_json["html"] = write_viewer_html(
             html_path, points, colors, traj=traj, edges=edges,
             title=root.name or "rgbdslam map",
-            voxels=vox, voxel_colors=vox_cols, voxel_size=vox_res)
+            voxels=vox, voxel_colors=vox_cols, voxel_size=vox_res,
+            mesh=mesh, sigmas=sigmas)
     if args.views > 0:
         w, h = (int(x) for x in args.size.split("x"))
         out = Path(args.out) if args.out else root / "views"
@@ -672,6 +696,9 @@ def main(argv=None):
                       help="run the 5-level evaluation protocol")
     runp.add_argument("--save-clouds", action="store_true")
     runp.add_argument("--save-octomap", action="store_true")
+    runp.add_argument("--save-mesh", action="store_true",
+                      help="triangle-mesh the node grids (depth-jump test, "
+                           "glviewer.cpp:776) into mesh.ply")
     runp.add_argument("--save-g2o", action="store_true")
     runp.add_argument("--save-features", action="store_true")
     runp.add_argument("--save-individual", action="store_true",

@@ -50,6 +50,10 @@ _HTML = """<!DOCTYPE html>
  <label><input id="tAxes" type="checkbox" checked> pose axes (a)</label>
  <label id="voxRow" style="display:none"><input id="tVox" type="checkbox">
   octomap voxels (v)</label>
+ <label id="meshRow" style="display:none"><input id="tMesh" type="checkbox">
+  triangle mesh (m)</label>
+ <label id="sigRow" style="display:none"><input id="tSig" type="checkbox">
+  &sigma; ellipsoid splats (u)</label>
  <span style="opacity:.6">drag orbit · right-drag pan · wheel zoom ·
  dblclick reset</span>{ctl_html}
 </div>
@@ -70,14 +74,15 @@ const NLINE = lines.length / 6;
 
 const canvas = document.getElementById("c");
 const gl = canvas.getContext("webgl", {{antialias: true}});
-const VS = `attribute vec3 p; attribute vec3 c; uniform mat4 mvp;
- uniform float ps; uniform float persp; varying vec3 vc;
+const VS = `attribute vec3 p; attribute vec3 c; attribute float s;
+ uniform mat4 mvp; uniform float ps; uniform float persp; varying vec3 vc;
  void main(){{
    gl_Position = mvp * vec4(p,1.0);
-   // persp > 0: world-sized point (octomap voxel splat) — pixel size is
-   // the projected voxel edge; else a fixed screen-size point
+   // persp > 0: world-sized point (octomap voxel splat or sigma-scaled
+   // uncertainty splat, glviewer.cpp:922 ellipsoid mode) — pixel size is
+   // the projected world size s*persp; else a fixed screen-size point
    gl_PointSize = persp > 0.0
-     ? clamp(persp / max(gl_Position.w, 1e-3), 1.0, 64.0) : ps;
+     ? clamp(s * persp / max(gl_Position.w, 1e-3), 1.0, 64.0) : ps;
    vc = c;
  }}`;
 const FS = `precision mediump float; varying vec3 vc;
@@ -94,9 +99,11 @@ gl.attachShader(prog, shader(gl.FRAGMENT_SHADER, FS));
 gl.linkProgram(prog); gl.useProgram(prog);
 const aP = gl.getAttribLocation(prog, "p");
 const aC = gl.getAttribLocation(prog, "c");
+const aS = gl.getAttribLocation(prog, "s");
 const uMVP = gl.getUniformLocation(prog, "mvp");
 const uPS = gl.getUniformLocation(prog, "ps");
 const uPersp = gl.getUniformLocation(prog, "persp");
+gl.vertexAttrib1f(aS, 1.0);  // default: unit world-size scale
 
 function buf(data) {{
   const b = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, b);
@@ -118,6 +125,30 @@ if (NVOX > 0) {{
   for (let i = 0; i < NVOX * 3; i++) vcolF[i] = vcol8[i] / 255;
   bVCol = buf(vcolF);
   voxRow.style.display = "block";
+}}
+// triangle mesh layer (depth-jump-tested node grids, glviewer.cpp:776)
+const mpos = new Float32Array(B64(DATA.mpos).buffer);
+const midx = new Uint32Array(B64(DATA.midx).buffer);
+const NTRI = midx.length / 3;
+let bMPos = null, bMCol = null, bMIdx = null;
+if (NTRI > 0) {{
+  gl.getExtension("OES_element_index_uint");
+  bMPos = buf(mpos);
+  const mcol8 = B64(DATA.mcol);
+  const mcolF = new Float32Array(mcol8.length);
+  for (let i = 0; i < mcol8.length; i++) mcolF[i] = mcol8[i] / 255;
+  bMCol = buf(mcolF);
+  bMIdx = gl.createBuffer();
+  gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, bMIdx);
+  gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, midx, gl.STATIC_DRAW);
+  meshRow.style.display = "block";
+}}
+// per-point measurement-sigma splat scales (ellipsoid mode, glviewer.cpp:922)
+const sigma = new Float32Array(B64(DATA.sigma).buffer);
+let bSig = null;
+if (sigma.length === NPTS && NPTS > 0) {{
+  bSig = buf(sigma);
+  sigRow.style.display = "block";
 }}
 
 // line index ranges [start, count] per group: 0 traj, 1 edges, 2 axes
@@ -180,11 +211,33 @@ function draw() {{
   gl.uniform1f(uPS, parseFloat(psize.value) * (window.devicePixelRatio||1));
   gl.uniform1f(uPersp, 0.0);
   gl.enableVertexAttribArray(aP); gl.enableVertexAttribArray(aC);
+  const t30 = Math.tan(30 * Math.PI / 180);
   gl.bindBuffer(gl.ARRAY_BUFFER, bPos);
   gl.vertexAttribPointer(aP, 3, gl.FLOAT, false, 0, 0);
   gl.bindBuffer(gl.ARRAY_BUFFER, bCol);
   gl.vertexAttribPointer(aC, 3, gl.FLOAT, false, 0, 0);
-  gl.drawArrays(gl.POINTS, 0, NPTS);
+  if (bSig && tSig.checked) {{
+    // sigma ellipsoid mode (glviewer.cpp:922): world-sized splats, each
+    // scaled by its measurement sigma (2sigma diameter)
+    gl.enableVertexAttribArray(aS);
+    gl.bindBuffer(gl.ARRAY_BUFFER, bSig);
+    gl.vertexAttribPointer(aS, 1, gl.FLOAT, false, 0, 0);
+    gl.uniform1f(uPersp, 2.0 * h / (2 * t30));
+    gl.drawArrays(gl.POINTS, 0, NPTS);
+    gl.disableVertexAttribArray(aS);
+    gl.vertexAttrib1f(aS, 1.0);
+    gl.uniform1f(uPersp, 0.0);
+  }} else {{
+    gl.drawArrays(gl.POINTS, 0, NPTS);
+  }}
+  if (NTRI > 0 && tMesh.checked) {{
+    gl.bindBuffer(gl.ARRAY_BUFFER, bMPos);
+    gl.vertexAttribPointer(aP, 3, gl.FLOAT, false, 0, 0);
+    gl.bindBuffer(gl.ARRAY_BUFFER, bMCol);
+    gl.vertexAttribPointer(aC, 3, gl.FLOAT, false, 0, 0);
+    gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, bMIdx);
+    gl.drawElements(gl.TRIANGLES, NTRI * 3, gl.UNSIGNED_INT, 0);
+  }}
   if (NVOX > 0 && tVox.checked) {{
     // projected voxel edge in pixels: edge * (H/2) / (tan(fov/2) * w)
     const t30 = Math.tan(30 * Math.PI / 180);
@@ -244,6 +297,8 @@ window.addEventListener("keydown", e => {{
   if (e.key === "e") tEdges.checked = !tEdges.checked;
   if (e.key === "a") tAxes.checked = !tAxes.checked;
   if (e.key === "v" && NVOX > 0) tVox.checked = !tVox.checked;
+  if (e.key === "m" && NTRI > 0) tMesh.checked = !tMesh.checked;
+  if (e.key === "u" && bSig) tSig.checked = !tSig.checked;
   if (e.key >= "1" && e.key <= "8") psize.value = e.key;
 }});
 {live_js}
@@ -344,6 +399,8 @@ def build_viewer_html(
     voxel_colors: Optional[np.ndarray] = None,  # (V, 3) uint8
     voxel_size: float = 0.05,
     max_voxels: int = 400_000,
+    mesh: Optional[tuple] = None,  # (verts (M,3), cols (M,3) u8, faces (F,3))
+    sigmas: Optional[np.ndarray] = None,  # (N,) per-point splat size, meters
 ) -> str:
     """Build the self-contained interactive viewer HTML (returns the text).
 
@@ -355,10 +412,14 @@ def build_viewer_html(
     if colors is None:
         colors = np.full((len(points), 3), 200, np.uint8)
     colors = np.asarray(colors, np.uint8).reshape(-1, 3)
+    if sigmas is not None:
+        sigmas = np.asarray(sigmas, np.float32).reshape(-1)
     if len(points) > max_points:
         sel = np.random.default_rng(0).choice(
             len(points), max_points, replace=False)
         points, colors = points[sel], colors[sel]
+        if sigmas is not None and len(sigmas) >= len(sel):
+            sigmas = sigmas[sel]
 
     groups = []
     segs = []
@@ -442,6 +503,19 @@ def build_viewer_html(
         "vcol": _b64(voxel_colors),
         "voxel_size": float(voxel_size),
     }
+    # triangle-mesh layer (depth-jump-tested node grids, glviewer.cpp:776)
+    if mesh is not None and len(mesh[2]):
+        mv, mc, mf = mesh
+        data["mpos"] = _b64(np.asarray(mv, np.float32).reshape(-1, 3))
+        data["mcol"] = _b64(np.asarray(mc, np.uint8).reshape(-1, 3))
+        data["midx"] = _b64(np.asarray(mf, np.uint32).reshape(-1, 3))
+    else:
+        data["mpos"] = data["mcol"] = data["midx"] = ""
+    # per-point sigma splat scales (ellipsoid render mode, glviewer.cpp:922)
+    data["sigma"] = (
+        _b64(sigmas) if sigmas is not None and len(sigmas) == len(points)
+        else ""
+    )
     live_js = _LIVE_JS if live else ""
     if controls:
         live_js += _CTL_JS

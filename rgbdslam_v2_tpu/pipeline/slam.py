@@ -710,6 +710,27 @@ class SlamPipeline:
             files.append(str(path))
         return files
 
+    def save_mesh(self, path, node_stride: int = 1,
+                  jump_frac: float = 0.05) -> int:
+        """Triangle-mesh the organized node grids into one world-frame PLY
+        (the GL viewer's triangle-strip rendering with depth-jump test,
+        glviewer.cpp:776-880, persisted as an indexed mesh). Returns the
+        face count."""
+        from ..io.meshing import (
+            compact_mesh, grid_mesh_faces, merge_meshes, write_ply_mesh)
+
+        mgr = self.manager
+        hw = (mgr.cam_small.height, mgr.cam_small.width)
+        parts = []
+        for nid in range(0, mgr.n_nodes, max(1, node_stride)):
+            pts, cols, valid, _ = self._node_world_cloud(nid)
+            depth = np.asarray(mgr.store.depth[nid]).reshape(hw)
+            faces = grid_mesh_faces(depth, valid.reshape(hw), jump_frac)
+            parts.append(compact_mesh(pts, cols, faces))
+        verts, cols, faces = merge_meshes(parts)
+        write_ply_mesh(path, verts, cols, faces)
+        return len(faces)
+
     def save_g2o(self, path):
         """Export the pose graph in g2o text format (saveG2OGraph capability)."""
         from ..graph.g2o_io import write_g2o
