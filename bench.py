@@ -18,8 +18,9 @@ growth, plus the >1024-node full-graph optimization (PCG path) runtime.
 Reference: fr2_desk builds 2866 nodes / 37k edges in 273.7 s (~10 fps,
 test/README:114).
 
-Measured work per frame: compact yc12 ingest (0.34 MB: 6-bit dithered Y +
-10-bit sqrt-coded stride-2 depth + 4:2:0 chroma at stride 8, C-packed),
+Measured work per frame: compact yc12 ingest (0.46 MB: 8-bit Y + 12-bit
+sqrt-coded stride-2 depth + 4:2:0 chroma at stride 8, C-packed; the r4
+wire A/B showed lower-precision variants cost L1 ATE without fps gains),
 ORB-600 extraction, 8-candidate MXU matching +
 batched RANSAC with Mahalanobis inliers + bidirectional EMM validation,
 donated graph commit, amortized subgraph (inaffected) optimization — the
@@ -159,9 +160,16 @@ def main():
                 # (test_settings.launch: cloud skip 8 x emm skip 1; here
                 # cloud stride 2 x emm skip 4)
                 emm_skip_step=4,
-                # round-4 wire: temporal-delta P-frames (tpu_wire_delta);
-                # enabled here once the TPU A/B showed ATE-neutral (see
-                # tools/ab_ate.py delta / delta-fps2 variants)
+                # round-4 wire A/B verdict (tools/r4d_ab_queue.sh, on-chip):
+                # 6-bit luma + 10-bit sqrt depth cost L1 ATE 0.0355 -> 8-bit
+                # luma + 12-bit depth restores 0.0223 (L4 0.0190, beats the
+                # reference's 0.0195) at ~same fps (58.6 vs 61.5 median,
+                # within tunnel variance) — precision wins, bytes don't pay.
+                # tpu_wire_delta was exactly ATE-neutral but not faster
+                # (closed-loop DPCM host encode eats the byte savings);
+                # tpu_frames_per_step=2 changed topology with no fps win.
+                tpu_gray_bits=8,
+                tpu_depth_bits=12,
                 **overrides,
             )
         )
@@ -351,7 +359,8 @@ def _stage_table(pipe, rgbs, depths):
     t0 = time.perf_counter()
     for _ in range(10):
         cpt_np = compact_frame(rgbs[-1], depths[-1], m.emm_stride,
-                               fmt=m.ingest_fmt, gray_bits=m.gray_bits)
+                               fmt=m.ingest_fmt, gray_bits=m.gray_bits,
+                               depth_bits=m.depth_bits)
     t_compact = (time.perf_counter() - t0) / 10 * 1e3
 
     def fence():
@@ -404,7 +413,7 @@ def _device_table(pipe, rgbs, depths, median_fps, n_steps=10):
 
     m = pipe.manager
     cpt = compact_frame(rgbs[-1], depths[-1], m.emm_stride, fmt=m.ingest_fmt,
-                        gray_bits=m.gray_bits)
+                        gray_bits=m.gray_bits, depth_bits=m.depth_bits)
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
             for k in range(n_steps):
@@ -436,8 +445,8 @@ def _device_table(pipe, rgbs, depths, median_fps, n_steps=10):
     busy_ms = total_us / n_steps / 1e3
     print(f"[bench] device busy {busy_ms:.2f} ms/frame of "
           f"{frame_ms:.2f} ms budget ({100*busy_ms/frame_ms:.0f}% — "
-          "remainder is the tunnel wire + host dispatch; ~0.34 MB/frame "
-          "ingest on a ~40 MB/s link)", file=sys.stderr)
+          "remainder is the tunnel wire + host dispatch; ~0.46 MB/frame "
+          "ingest on a ~25-45 MB/s link)", file=sys.stderr)
     print("[bench] top device ops (ms/frame):", file=sys.stderr)
     for name, us in agg.most_common(12):
         print(f"[bench]   {us/n_steps/1e3:7.3f}  {name[:80]}", file=sys.stderr)

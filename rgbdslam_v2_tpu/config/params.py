@@ -159,18 +159,21 @@ PARAM_DEFS = [
        "1.15 MB/frame). The tunnel link (~30-45 MB/s) makes the "
        "payload size the throughput bound; falls back to raw when the frame "
        "size is not divisible by 2x the cloud stride"),
-    _p("tpu_gray_bits", 6,
-       "[tpu] luma bits on the wire for the yc12 ingest: 6 (4 px -> 3 B "
-       "with Bayer-ordered dithering, the default: -77 KB/frame = +24% fps "
-       "on the ~40 MB/s link at equal protocol ATE, tools/ab_gray6.py), "
-       "5 (8 px -> 5 B dithered, another -38 KB/frame; A/B before relying "
-       "on it for low-texture scenes), or 8 (1 B/px, exact luma for "
-       "low-contrast scenes / precision studies)"),
-    _p("tpu_depth_bits", 10,
-       "[tpu] sqrt-coded depth bits on the wire for the yc12 ingest: 10 "
-       "(1.25 B/sample, error 3.5-6 mm — 3-15x below the 0.01z^2 sensor "
-       "noise floor, -19 KB/frame on the ~40 MB/s link) or 12 "
-       "(1.5 B/sample, 0.9-1.3 mm, precision studies)"),
+    _p("tpu_gray_bits", 8,
+       "[tpu] luma bits on the wire for the yc12 ingest: 8 (1 B/px, exact "
+       "luma — the default), 6 (4 px -> 3 B with Bayer-ordered dithering, "
+       "-77 KB/frame), or 5 (8 px -> 5 B dithered, another -38 KB/frame). "
+       "Round-4 on-chip A/B (tools/r4d_ab_queue.sh; PARITY.md): at VGA the "
+       "serialized tunnel wire is latency-dominated, so 6-bit saved no "
+       "measurable fps while costing 60% L1 protocol ATE (0.0223 -> "
+       "0.0355 m) — keep 8 unless the link is genuinely bandwidth-starved, "
+       "and A/B any downgrade end-to-end"),
+    _p("tpu_depth_bits", 12,
+       "[tpu] sqrt-coded depth bits on the wire for the yc12 ingest: 12 "
+       "(1.5 B/sample, error 0.9-1.3 mm — the default) or 10 "
+       "(1.25 B/sample, 3.5-6 mm, -19 KB/frame; same A/B verdict as "
+       "tpu_gray_bits: the byte savings bought no fps on the "
+       "latency-dominated link and cost L1 ATE)"),
     _p("tpu_wire_delta", False,
        "[tpu] temporal-delta wire coding for the yc12 ingest (fast path, "
        "gray_bits=6/depth_bits=10): P-frames ship 4-bit luma-code residuals "

@@ -183,7 +183,7 @@ def _dither6(gray8: np.ndarray, bits: int = 6) -> np.ndarray:
 
 
 def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
-                  gray_bits: int = 6, depth_bits: int = 10):
+                  gray_bits: int = 8, depth_bits: int = 12):
     """Host-side ingest compaction into ONE packed uint8 buffer.
 
     One buffer means ONE transfer per frame — each h2d through the tunnel
@@ -343,7 +343,8 @@ def _decode_color_small(packed, off: int, gray8, stride: int, cm: int,
 
 def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6,
                  depth_bits: int = 10, return_codes: bool = False):
-    """Device-side inverse of compact_frame(fmt="yc12"): packed u8 ->
+    """Device-side inverse of compact_frame(fmt="yc12"). Defaults are the
+    DELTA-WIRE code space (6/10); product callers always pass explicit bits: packed u8 ->
     (gray u8 (H,W), depth_small f32 meters (h,w), color u8 (h,w,3))
     [+ the raw wire codes (gray q u8, depth q u16) when return_codes —
     the temporal-delta coder's reference state].
@@ -577,7 +578,7 @@ def delta_encode(rgb, depth, prev_qg: np.ndarray, prev_qd: np.ndarray,
 )
 def _prepare_and_extract(
     extractor, cam, stride, min_depth, max_depth, use_feature_min_depth,
-    packed, fmt: str = "yc12", gray_bits: int = 6, depth_bits: int = 10
+    packed, fmt: str = "yc12", gray_bits: int = 8, depth_bits: int = 12
 ):
     """Fused per-frame device prep on the PACKED compact ingest buffer:
     unpack (slice/bitcast), u8 gray -> f32, depth decode -> meters + masking,
@@ -880,16 +881,22 @@ class GraphManager:
         self.wire_delta = bool(p["tpu_wire_delta"])
         if self.wire_delta and not (
             self.ingest_fmt == "yc12"
-            and self.gray_bits == 6
-            and self.depth_bits == 10
             and (cam.height * cam.width) % 2 == 0
             and ((cam.height // s) * (cam.width // s)) % 8 == 0
         ):
             logger.warning(
-                "tpu_wire_delta needs yc12/gray6/depth10 and aligned frame "
+                "tpu_wire_delta needs the yc12 format and aligned frame "
                 "sizes; disabled"
             )
             self.wire_delta = False
+        if self.wire_delta and (self.gray_bits, self.depth_bits) != (6, 10):
+            # the delta scheme's residual codes are defined over the 6-bit
+            # luma / 10-bit sqrt-depth quantizers; enabling it implies them
+            logger.info(
+                "tpu_wire_delta implies gray_bits=6/depth_bits=10 "
+                "(requested %d/%d)", self.gray_bits, self.depth_bits
+            )
+            self.gray_bits, self.depth_bits = 6, 10
         self._wire_qg: Optional[np.ndarray] = None  # host mirror, luma codes
         self._wire_qd: Optional[np.ndarray] = None  # host mirror, depth codes
         self._wire_dev = None  # device-side (qg, qd) from the last fast step

@@ -107,7 +107,7 @@ def _first_body(
     stride: int = 2,
     ingest_fmt: str = "yc12",
     gray_bits: int = 8,
-    depth_bits: int = 10,
+    depth_bits: int = 12,
     min_depth: float = 0.1,
     max_depth: float = 10.0,
     use_feature_min_depth: bool = False,

@@ -67,8 +67,14 @@ def test_compact_frame_uses_native_by_default():
     H, W = 120, 160
     rgb = rng.integers(0, 256, (H, W, 3), np.uint8)
     depth = rng.integers(0, 40000, (H, W)).astype(np.uint16)
-    via_manager = mgr.compact_frame(rgb, depth, 2, fmt="yc12", gray_bits=6)
-    direct = native_loader.compact_yc12(rgb, depth, 2, 6)
+    # both sides at the package ingest defaults (8-bit luma / 12-bit depth)
+    via_manager = mgr.compact_frame(rgb, depth, 2, fmt="yc12")
+    direct = native_loader.compact_yc12(rgb, depth, 2, 8, 12)
+    assert np.array_equal(via_manager, direct)
+    # and at the delta-wire code space (6/10)
+    via_manager = mgr.compact_frame(rgb, depth, 2, fmt="yc12",
+                                    gray_bits=6, depth_bits=10)
+    direct = native_loader.compact_yc12(rgb, depth, 2, 6, 10)
     assert np.array_equal(via_manager, direct)
 
 

@@ -47,7 +47,7 @@ def test_p_frame_roundtrip_matches_intra_when_unclamped():
     absolute I-frame."""
     ga, da = _frame(0, drift=0)
     gb, db = _frame(0, drift=1)  # small shift: residuals well inside ±8/±16
-    intra_a = compact_frame(ga, da, S)
+    intra_a = compact_frame(ga, da, S, gray_bits=6, depth_bits=10)
     qg, qd = _host_unpack_codes(intra_a, H, W, S)
     out = delta_encode(gb, db, qg, qd, S, max_clamp=0.05)
     assert out is not None, "small drift should not trip the clamp budget"
@@ -63,7 +63,7 @@ def test_p_frame_roundtrip_matches_intra_when_unclamped():
         jnp.asarray(packed), H, W, S, codes_i
     )
     # reference: frame B shipped absolute
-    intra_b = compact_frame(gb, db, S)
+    intra_b = compact_frame(gb, db, S, gray_bits=6, depth_bits=10)
     gray_b, depth_b, color_b = _unpack_yc12(jnp.asarray(intra_b), H, W, S)
     np.testing.assert_array_equal(np.asarray(gray_p), np.asarray(gray_b))
     np.testing.assert_allclose(
@@ -80,7 +80,7 @@ def test_clamped_residuals_converge_without_divergence():
     (clamped DPCM) while host mirror and device state stay identical."""
     ga, da = _frame(1)
     gb = np.clip(ga.astype(np.int16) + 40, 0, 255).astype(np.uint8)  # +10 q
-    intra = compact_frame(ga, da, S)
+    intra = compact_frame(ga, da, S, gray_bits=6, depth_bits=10)
     qg, qd = _host_unpack_codes(intra, H, W, S)
     codes_dev = _unpack_yc12(jnp.asarray(intra), H, W, S, return_codes=True)[3]
     for it in range(3):
@@ -93,7 +93,7 @@ def test_clamped_residuals_converge_without_divergence():
         np.testing.assert_array_equal(np.asarray(codes_dev[0]), qg)
         np.testing.assert_array_equal(np.asarray(codes_dev[1]), qd)
     # +10 code steps at ±8/frame reach the target by the 2nd P-frame
-    target = _host_unpack_codes(compact_frame(gb, da, S), H, W, S)[0]
+    target = _host_unpack_codes(compact_frame(gb, da, S, gray_bits=6, depth_bits=10), H, W, S)[0]
     np.testing.assert_array_equal(qg, target)
 
 
@@ -101,7 +101,7 @@ def test_scene_cut_falls_back_to_i_frame():
     ga, da = _frame(2)
     gb = (255 - ga)  # inverted scene: luma residuals clamp everywhere
     db = (12000 - da).astype(np.uint16)
-    intra = compact_frame(ga, da, S)
+    intra = compact_frame(ga, da, S, gray_bits=6, depth_bits=10)
     qg, qd = _host_unpack_codes(intra, H, W, S)
     assert delta_encode(gb, db, qg, qd, S, max_clamp=0.02) is None
 
@@ -116,7 +116,7 @@ def test_native_encoder_matches_numpy():
         pytest.skip("native toolchain unavailable")
     ga, da = _frame(3)
     gb, db = _frame(3, drift=1)
-    intra = compact_frame(ga, da, S)
+    intra = compact_frame(ga, da, S, gray_bits=6, depth_bits=10)
     qg_n, qd_n = _host_unpack_codes(intra, H, W, S)
     qg_p, qd_p = qg_n.copy(), qd_n.copy()
     nat = delta_encode_native(gb, db, qg_n, qd_n, S, 0.05)
