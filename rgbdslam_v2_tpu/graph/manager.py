@@ -891,12 +891,19 @@ class GraphManager:
             self.wire_delta = False
         if self.wire_delta and (self.gray_bits, self.depth_bits) != (6, 10):
             # the delta scheme's residual codes are defined over the 6-bit
-            # luma / 10-bit sqrt-depth quantizers; enabling it implies them
-            logger.info(
+            # luma / 10-bit sqrt-depth quantizers; enabling it implies them.
+            # This DOWNGRADES the accuracy defaults (8/12) — the r4 wire A/B
+            # measured 6-bit luma costing ~60% L1 protocol ATE — so warn and
+            # write the effective values back so introspection matches.
+            logger.warning(
                 "tpu_wire_delta implies gray_bits=6/depth_bits=10 "
-                "(requested %d/%d)", self.gray_bits, self.depth_bits
+                "(requested %d/%d): expect an L1-ATE cost vs the 8/12 "
+                "defaults (see PARITY.md wire A/B)",
+                self.gray_bits, self.depth_bits,
             )
             self.gray_bits, self.depth_bits = 6, 10
+            p.set("tpu_gray_bits", 6)
+            p.set("tpu_depth_bits", 10)
         self._wire_qg: Optional[np.ndarray] = None  # host mirror, luma codes
         self._wire_qd: Optional[np.ndarray] = None  # host mirror, depth codes
         self._wire_dev = None  # device-side (qg, qd) from the last fast step

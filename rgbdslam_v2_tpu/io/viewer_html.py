@@ -414,11 +414,13 @@ def build_viewer_html(
     colors = np.asarray(colors, np.uint8).reshape(-1, 3)
     if sigmas is not None:
         sigmas = np.asarray(sigmas, np.float32).reshape(-1)
+    if sigmas is not None and len(sigmas) != len(points):
+        sigmas = None  # mismatched sigmas would pair wrong values with points
     if len(points) > max_points:
         sel = np.random.default_rng(0).choice(
             len(points), max_points, replace=False)
         points, colors = points[sel], colors[sel]
-        if sigmas is not None and len(sigmas) >= len(sel):
+        if sigmas is not None:
             sigmas = sigmas[sel]
 
     groups = []

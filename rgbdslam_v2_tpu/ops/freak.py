@@ -99,7 +99,12 @@ def _build_grad_coeffs():
             if _RING_ID[a] == 0 or _RING_ID[b] == 0:
                 continue
             da = (_ANGLE[a] - _ANGLE[b]) % (2.0 * np.pi)
-            if min(da, 2.0 * np.pi - da) > np.pi - 1e-3:  # ~opposite
+            # within-ring pairs sit exactly opposite; consecutive rings are
+            # staggered by pi/6, so the nearest-to-opposite cross-ring pair
+            # differs from pi by exactly pi/6 — the tolerance admits both
+            # (same-spoke cross-ring pairs would otherwise never match)
+            tol = 1e-3 if _RING_ID[a] == _RING_ID[b] else np.pi / 6.0 + 1e-3
+            if min(da, 2.0 * np.pi - da) > np.pi - tol:  # ~opposite
                 pairs.append((a, b))
     cgx = np.zeros(N_FIELDS, np.float32)
     cgy = np.zeros(N_FIELDS, np.float32)
