@@ -44,11 +44,21 @@ PARAM_DEFS = [
     _p("squareroot_descriptor_space", True, "RootSIFT: compare SIFT in sqrt(L1) space"),
     _p("max_matches", 300, "keep strongest N matches (static shape)"),
     _p("nn_distance_ratio", 0.95, "Lowe ratio test threshold (ORB default 0.95, SIFT 0.5-0.8)"),
-    # NOTE: the reference's `sufficient_matches` (parameter_server.cpp:88) is a
-    # lower bound for its ADAPTIVE detectors (SURF/FAST threshold adjusters);
-    # the fixed top-K keypoint budget (max_keypoints) subsumes it here.
     _p("min_matches", 20, "matches below this -> edge rejected"),
     _p("data_skip_step", 1, "process every n-th frame"),
+    _p("drop_async_frames", False,
+       "reject RGB-depth pairs whose timestamps differ by more than 1/30 s "
+       "(reference asyncFrameDrop, misc.cpp:432-448; largely subsumed here "
+       "by the stricter 0.02 s greedy association window, but honored as an "
+       "explicit post-association gate)"),
+    _p("depth_scaling_factor", 1.0,
+       "multiply raw depth at ingest — some Kinects report wrongly scaled "
+       "depth (reference misc.cpp:502, node.cpp:705)"),
+    _p("sufficient_matches", int(1e9),
+       "adaptive detection aims for at least this many depth-valid "
+       "keypoints: values below max_keypoints raise the rung-ladder's "
+       "starvation bound (reference parameter_server.cpp:88 — honored only "
+       "by the adjustable detectors there too)"),
     _p("start_paused", False,
        "start with processing paused; unpause via SlamPipeline.toggle_pause "
        "or step single frames with get_one_frame"),
@@ -120,6 +130,11 @@ PARAM_DEFS = [
     _p("use_robot_odom", False, "add odometry edges between consecutive nodes"),
     _p("use_robot_odom_only", False, "skip visual registration; odometry edges only"),
     _p("global_loop_candidates", 0, "appearance-based global retrieval count (0=off)"),
+    _p("max_connections", -1,
+       "stop accepting edges for a frame after this many successful "
+       "matches; negative = no limit (reference node.cpp:1310-1312 — on "
+       "the fast path the candidate batch already bounds edges per frame, "
+       "so this gates the slow/concurrent path)"),
     _p("constant_position_information", 1e-3, "info scale of fallback edges"),
     # ---- mapping / output ----
     _p("octomap_resolution", 0.05, "voxel edge length (m)"),
@@ -130,9 +145,19 @@ PARAM_DEFS = [
     _p("octomap_occupancy_threshold", 0.5, "occupied decision threshold"),
     _p("octomap_online_creation", False, "insert clouds during mapping"),
     _p("octomap_autosave_step", 50, "autosave every N clouds"),
+    _p("octomap_clear_after_save", False,
+       "clear the voxel map after a (final) save (graph_mgr_io.cpp:303)"),
+    _p("occupancy_filter_threshold", 0.9,
+       "occupancy_filter: remove cloud points in voxels whose occupancy "
+       "probability is below this (ColorOctomapServer.cpp:191, "
+       "graph_manager.cpp:1376)"),
     _p("voxelfilter_size", -1.0, "cloud voxel-grid downsample size (m); <=0 off"),
     # ---- pipeline ----
     _p("batch_processing", False, "offline evaluation mode (5-level protocol)"),
+    _p("min_time_reported", -1.0,
+       "ScopedTimer profiling: log stages that exceed this many seconds; "
+       "negative = report nothing (reference parameter_server.cpp:164, "
+       "scoped_timer.cpp:22-33)"),
     _p("store_pointclouds", True, "retain clouds for mapping/export"),
     _p("fixed_frame_name", "/map", "world frame name in outputs"),
     _p("ground_truth_frame_name", "",

@@ -492,6 +492,7 @@ def read_rgbd_frames(
     rgb_topic: str = "/camera/rgb/image_color",
     depth_topic: str = "/camera/depth/image",
     max_difference: float = 0.02,
+    drop_async: bool = False,
 ) -> Iterator[Tuple[float, np.ndarray, np.ndarray]]:
     """Yield (stamp, rgb u8 HxWx3, depth f32 HxW meters) pairs.
 
@@ -524,6 +525,9 @@ def read_rgbd_frames(
     )
     for ir, idp in pairs:
         r, d = rgb_msgs[ir], depth_msgs[idp]
+        if drop_async and abs(r.stamp - d.stamp) > 1.0 / 30:
+            # asyncFrameDrop (misc.cpp:432-448): reject badly-synced pairs
+            continue
         yield r.stamp, r.as_array(), d.as_array()
 
 

@@ -78,6 +78,7 @@ def icp_point_to_plane(
     src_stride: int = 4,
     dst_stride: int = 2,
     prior_weight: float = 10.0,
+    min_pairs: int = 50,
 ) -> IcpResult:
     """Refine T0 (dst_T_src) by point-to-plane ICP between two RGB-D grids.
 
@@ -154,7 +155,7 @@ def icp_point_to_plane(
         n_ok = jnp.sum(ok.astype(jnp.int32))
         rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(n_ok, 1))
         # guard: keep update only with enough correspondences
-        enough = n_ok >= 50
+        enough = n_ok >= min_pairs
         T_out = jnp.where(enough, T_new, T)
         return (T_out, rmse, n_ok, enough), None
 
@@ -198,6 +199,7 @@ def icp_plane_to_plane(
     prior_weight: float = 10.0,
     gicp_epsilon: float = 1e-3,
     gicp_in_plane: float = 250.0,
+    min_pairs: int = 50,
 ) -> IcpResult:
     """Plane-to-plane Generalized ICP between two RGB-D grids.
 
@@ -310,7 +312,7 @@ def icp_plane_to_plane(
         T_new = se3.exp_se3(delta) @ T
         n_ok = jnp.sum(ok.astype(jnp.int32))
         rmse = jnp.sqrt(jnp.sum(w * r2) / jnp.maximum(n_ok, 1))
-        enough = n_ok >= 50
+        enough = n_ok >= min_pairs
         T_out = jnp.where(enough, T_new, T)
         return (T_out, rmse, n_ok, enough), None
 

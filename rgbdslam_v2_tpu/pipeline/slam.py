@@ -243,6 +243,8 @@ class SlamPipeline:
         fmt = self.manager.ingest_fmt
         gb = self.manager.gray_bits
         db = self.manager.depth_bits
+        from ..graph.manager import maybe_scale_depth
+        dscale = p["depth_scaling_factor"]
 
         pair = p["tpu_frames_per_step"] >= 2
         delta = self.manager.wire_delta
@@ -260,8 +262,8 @@ class SlamPipeline:
             # instead (the host mirror must advance in lockstep with the
             # device state), so cpt stays None here.
             cpt = None if delta else compact_frame(
-                rgbs[i], depths[i], stride, fmt=fmt, gray_bits=gb,
-                depth_bits=db)
+                rgbs[i], maybe_scale_depth(depths[i], dscale), stride,
+                fmt=fmt, gray_bits=gb, depth_bits=db)
             if self.live_dir is not None:
                 self._last_rgb = rgbs[i]
             if (
@@ -327,6 +329,7 @@ class SlamPipeline:
             bag_path,
             rgb_topic=p["topic_image_mono"],
             depth_topic=p["topic_image_depth"],
+            drop_async=p["drop_async_frames"],
         )
         skip0 = p["skip_first_n_frames"]
         step = max(1, p["data_skip_step"])
@@ -335,11 +338,15 @@ class SlamPipeline:
         gb = self.manager.gray_bits
         db = self.manager.depth_bits
 
+        from ..graph.manager import maybe_scale_depth
+        dscale = p["depth_scaling_factor"]
+
         def gen():
             count = 0
             for k, (ts, rgb, depth) in enumerate(frames):
                 if k < skip0 or (k - skip0) % step:
                     continue
+                depth = maybe_scale_depth(depth, dscale)
                 if self.live_dir is not None:
                     self._last_rgb = rgb  # 2D pane source (live view)
                 yield ts, compact_frame(rgb, depth, stride, fmt=fmt, gray_bits=gb,
@@ -381,11 +388,15 @@ class SlamPipeline:
                 for ts, pts, cols in source
             )
 
+        from ..graph.manager import maybe_scale_depth
+        dscale = p["depth_scaling_factor"]
+
         def gen():
             count = 0
             for k, (ts, rgb, depth) in enumerate(frames):
                 if k < skip0 or (k - skip0) % step:
                     continue
+                depth = maybe_scale_depth(depth, dscale)
                 if self.live_dir is not None:
                     self._last_rgb = rgb
                 yield ts, compact_frame(rgb, depth, stride, fmt=fmt,
@@ -670,15 +681,31 @@ class SlamPipeline:
             pts, cols, valid, origin = self._node_world_cloud(nid)
             vmap_.insert_cloud(pts, cols, valid, origin)
         vmap_.save(path)
+        if self.params["octomap_clear_after_save"]:
+            # graph_mgr_io.cpp:303: free the map after the final save
+            if getattr(self, "_online_map", None) is not None:
+                self._online_map = None
+            return VoxelMap(cfg)
         return vmap_
 
-    def save_clouds(self, path, voxel: Optional[float] = None, fmt: str = "pcd"):
-        """Aggregate world cloud -> PCD/PLY (saveAllCloudsToFile capability)."""
+    def save_clouds(self, path, voxel: Optional[float] = None, fmt: str = "pcd",
+                    occupancy_map=None):
+        """Aggregate world cloud -> PCD/PLY (saveAllCloudsToFile capability).
+
+        occupancy_map: optional VoxelMap — points whose voxel's occupancy
+        probability falls below `occupancy_filter_threshold` are removed
+        (the reference's occupancyFilterClouds, graph_manager.cpp:1376 /
+        ColorOctomapServer.cpp:132-185)."""
         from ..io.pointcloud import voxel_downsample, write_pcd, write_ply
 
+        occ_thr = self.params["occupancy_filter_threshold"]
         all_p, all_c = [], []
         for nid in range(self.manager.n_nodes):
             pts, cols, valid, _ = self._node_world_cloud(nid)
+            if occupancy_map is not None:
+                valid = np.asarray(
+                    occupancy_map.occupancy_filter(pts, valid, occ_thr)
+                )
             all_p.append(pts[valid])
             all_c.append(cols[valid])
         pts = np.concatenate(all_p, 0) if all_p else np.zeros((0, 3))

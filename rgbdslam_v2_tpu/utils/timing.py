@@ -24,9 +24,18 @@ _logger = logging.getLogger("rgbdslam.timings")
 class ScopedTimer:
     """Context manager: `with ScopedTimer("node_comparison"): ...`"""
 
-    def __init__(self, name: str, min_time_reported: float = 0.01, verbose: bool = False):
+    def __init__(self, name: str, min_time_reported: float | None = None,
+                 verbose: bool = False):
         self.name = name
-        self.min_time = min_time_reported
+        if min_time_reported is None:
+            # the reference's min_time_reported param (negative = report
+            # nothing, parameter_server.cpp:164 / scoped_timer.cpp:22-33)
+            from ..config import default_params
+
+            min_time_reported = default_params()["min_time_reported"]
+        self.min_time = (
+            float("inf") if min_time_reported < 0 else min_time_reported
+        )
         self.verbose = verbose
         self.elapsed = 0.0
 

@@ -56,16 +56,33 @@ def test_hard_sequence_within_bounds(name, tmp_path):
 
 def test_dark_stretch_icp_rescue_fires(tmp_path):
     # dark_stretch drops the middle frames to ~3% contrast: visual matching
-    # fails there (low_texture alone still tracks at small scale — the
-    # ladder recovers it without rescue), so the ICP rescue must fire on
-    # the starved stretch and carry the trajectory through on depth alone
+    # fails there, so the FAST path's retroactive GICP rescue (drain-batched,
+    # constant-velocity seeded — see manager._retro_rescue_kernel) must fire
+    # on the starved stretch and actually rescue accuracy, not just fire:
+    # without it the const-pos chain freezes mid-orbit (L1 0.114 m measured);
+    # with it L1 reads 0.0580 m deterministically (VERDICT r4 #3 bound).
+    seqs = build_sequences(SMALL_CAM, small=True, with_fr2=False)
+    seq = _clip(seqs["dark_stretch"](), 48)
+    r = run_sequence(
+        SMALL_CAM, seq,
+        protocol_params(True, use_icp=True, icp_max_iterations=12),
+        tmp_path / "ds",
+    )
+    assert r["icp_rescue_edges"] >= 1, r
+    assert r["ate"].get(1, float("nan")) < 0.06, r["ate"]
+    assert r["const_pos_edges"] <= 2, r
+
+
+def test_dark_stretch_slow_path_rescue_fires(tmp_path):
+    # the slow path (min_translation_meter forces it) runs the same rescue
+    # inline per frame (node.cpp:1381-1413 equivalent) and must also hold
     seqs = build_sequences(SMALL_CAM, small=True, with_fr2=False)
     seq = _clip(seqs["dark_stretch"](), 48)
     r = run_sequence(
         SMALL_CAM, seq,
         protocol_params(True, use_icp=True, icp_max_iterations=12,
                         min_translation_meter=0.001),
-        tmp_path / "ds", rescue_counts=True,
+        tmp_path / "ds_slow", rescue_counts=True,
     )
     assert r["icp_rescue_edges"] >= 1, r
     assert r["ate"].get(1, float("nan")) < 0.25, r["ate"]

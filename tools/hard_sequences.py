@@ -153,6 +153,10 @@ def run_sequence(cam, seq, params, out_dir, rescue_counts: bool = False):
     const_pos = sum(
         1 for t in pipe.manager.edge_types if t == EDGE_CONST_POSITION
     )
+    # fast-path retroactive rescues (drain-batched GICP, zero-sync) are
+    # counted by the manager; the slow path is counted per-frame above
+    n_icp += pipe.manager.n_icp_rescues
+    n_frames_icp += pipe.manager.n_icp_rescues
     return dict(
         note=note,
         frames=len(rgbs),
