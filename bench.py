@@ -250,6 +250,17 @@ def main():
         except Exception as exc:  # diagnostic phase, never fatal
             print(f"[bench] fr2-scale phase failed: {exc}", file=sys.stderr)
 
+    # ---- degenerate sequence at product scale (stderr) ---------------------
+    # VERDICT r4 #4: hard-sequence behavior measured at VGA/bench scale,
+    # not 160x120 miniature. spin360 = the fr1_360 analog (90 deg/s yaw,
+    # ref ATE 0.051 m at 0.106 m/s, test/README:87).
+    if not phase1_only:
+        try:
+            _hard_sequence_phase(make_pipe, warmup)
+        except Exception as exc:  # diagnostic phase, never fatal
+            print(f"[bench] hard-sequence phase failed: {exc}",
+                  file=sys.stderr)
+
     # ---- per-stage budget (stderr) -----------------------------------------
     if not phase1_only:
         try:
@@ -346,6 +357,69 @@ def _fr2_scale_phase(make_pipe, rgbs, depths, n_frames, warmup):
           file=sys.stderr)
     return dict(nodes=stats["nodes"], edges=stats["active_edges"],
                 chunk_fps=chunk_fps, opt_s=opt_s)
+
+
+def _hard_sequence_phase(make_pipe, warmup):
+    """spin360 at full VGA scale: 260 frames of 3 deg/frame yaw (90 deg/s at
+    30 Hz — the fr1_360 regime; reference ATE 0.051 m, test/README:87).
+    Reuses phase 1's compiled step programs (same shapes/params), reports
+    fps + 5-level protocol ATE + robustness counters to stderr."""
+    import tempfile
+
+    import numpy as np
+
+    from rgbdslam_v2_tpu.core.camera import TUM_DEFAULT
+    from rgbdslam_v2_tpu.graph.manager import EDGE_CONST_POSITION
+    from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
+
+    n = 260
+    t0 = time.perf_counter()
+    cache = Path(__file__).parent / ".bench_cache" / f"spin360_{n}_n01.npz"
+    if cache.exists():
+        z = np.load(cache)
+        poses, rgbs, depths = z["poses"], z["rgbs"], z["depths_u16"]
+    else:
+        world = SyntheticWorld.create(seed=0, cam=TUM_DEFAULT)
+        traj = world.spin_trajectory(n, seed=2, deg_per_frame=3.0)
+        poses, rgbs, depths = render_sequence(
+            world, n, seed=2, depth_noise_sigma=0.01, trajectory=traj)
+        poses = np.asarray(poses)
+        depths = np.clip(depths * 5000.0 + 0.5, 0, 65535).astype(np.uint16)
+        try:
+            Path(os.path.realpath(cache.parent)).mkdir(
+                parents=True, exist_ok=True)
+            np.savez(cache, poses=poses, rgbs=rgbs, depths_u16=depths)
+        except OSError as e:
+            print(f"[bench] spin360 cache unavailable ({e}); continuing",
+                  file=sys.stderr)
+    print(f"[bench] spin360 frames ready in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    stamps = np.arange(n) / 30.0
+    pipe = make_pipe()
+    for i in range(warmup):
+        pipe.process_frame(rgbs[i], depths[i], float(stamps[i]),
+                           gt_pose=poses[0] if i == 0 else None)
+    float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
+    t0 = time.perf_counter()
+    pipe.params.set("skip_first_n_frames", warmup)
+    pipe.run_arrays(rgbs, depths, stamps)
+    float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
+    fps = (n - warmup) / (time.perf_counter() - t0)
+    with tempfile.TemporaryDirectory() as td:
+        rep = pipe.evaluation_protocol(
+            td, gt_stamps=list(stamps), gt_xyz=poses[:, :3, 3])
+    ate_str = "/".join(
+        f"{rep.ate_rmse.get(l, float('nan')):.4f}" for l in range(5))
+    m = pipe.manager
+    const_pos = sum(1 for t in m.edge_types if t == EDGE_CONST_POSITION)
+    st = m.statistics()
+    print(
+        f"[bench] spin360 VGA (90 deg/s yaw, fr1_360 regime): {fps:.1f} fps, "
+        f"protocol ATE L0..L4 {ate_str} m, {st['nodes']} nodes / "
+        f"{st['active_edges']} edges, {const_pos} const-pos, "
+        f"{m.n_icp_rescues} GICP rescues; ref fr1_360 ATE 0.051 m",
+        file=sys.stderr,
+    )
 
 
 def _stage_table(pipe, rgbs, depths):

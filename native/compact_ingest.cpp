@@ -83,6 +83,89 @@ inline uint8_t clip_u8(int v) {
   return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
 }
 
+inline uint16_t depth_sample(const uint16_t* drow, const float* frow, int x) {
+  if (drow) return drow[x];
+  float m = frow[x];
+  // NaN/±inf/negative -> 0 (np.nan_to_num + clip semantics)
+  if (!(m > 0.0f) || !std::isfinite(m)) m = 0.0f;
+  float scaled = m * 5000.0f;
+  return scaled >= 65535.0f ? 65535
+                            : static_cast<uint16_t>(scaled);  // truncation
+}
+
+// ---- shared plane encoders (bit-exact twins of the numpy tails in
+// graph/manager.py compact_frame; used by every wire format below) --------
+
+// strided u16 depth -> sqrt code (12-bit pairs -> 3 B or 10-bit quads -> 5 B)
+uint8_t* encode_depth_plane(const uint16_t* d16, const float* dmeters, int H,
+                            int W, int s, int depth_bits, uint8_t* p) {
+  const uint16_t* lut = depth_bits == 10 ? d10_lut() : d12_lut();
+  const int group = depth_bits == 10 ? 4 : 2;
+  uint16_t qg[4];
+  int pn = 0;
+  for (int y = 0; y < H; y += s) {
+    const uint16_t* drow = d16 ? d16 + static_cast<size_t>(y) * W : nullptr;
+    const float* frow =
+        dmeters ? dmeters + static_cast<size_t>(y) * W : nullptr;
+    for (int x = 0; x < W; x += s) {
+      qg[pn++] = lut[depth_sample(drow, frow, x)];
+      if (pn == group) {
+        if (group == 2) {
+          p[0] = static_cast<uint8_t>(qg[0] & 0xFF);
+          p[1] = static_cast<uint8_t>(((qg[0] >> 8) & 0x0F) |
+                                      ((qg[1] & 0x0F) << 4));
+          p[2] = static_cast<uint8_t>(qg[1] >> 4);
+          p += 3;
+        } else {  // 4 x 10-bit -> 5 B, little-endian bit stream
+          p[0] = static_cast<uint8_t>(qg[0] & 0xFF);
+          p[1] = static_cast<uint8_t>((qg[0] >> 8) | ((qg[1] & 0x3F) << 2));
+          p[2] = static_cast<uint8_t>((qg[1] >> 6) | ((qg[2] & 0x0F) << 4));
+          p[3] = static_cast<uint8_t>((qg[2] >> 4) | ((qg[3] & 0x03) << 6));
+          p[4] = static_cast<uint8_t>(qg[3] >> 2);
+          p += 5;
+        }
+        pn = 0;
+      }
+    }
+  }
+  return p;
+}
+
+// chroma at stride cs: BT.601 Cb then Cr planes (numpy f32 evaluation
+// order; build with -ffp-contract=off so no FMA re-rounding diverges)
+uint8_t* encode_chroma_planes(const uint8_t* rgb, int H, int W, int cs,
+                              uint8_t* p) {
+  const int hc = (H + cs - 1) / cs, wc = (W + cs - 1) / cs;
+  uint8_t* cbp = p;
+  uint8_t* crp = p + static_cast<size_t>(hc) * wc;
+  if (rgb) {
+    for (int y = 0; y < H; y += cs) {
+      const uint8_t* rp = rgb + static_cast<size_t>(y) * W * 3;
+      for (int x = 0; x < W; x += cs) {
+        const uint8_t* px = rp + 3 * x;
+        float r = static_cast<float>(px[0]);
+        float g = static_cast<float>(px[1]);
+        float b = static_cast<float>(px[2]);
+        // numpy f32 evaluation order: ((128 - c1*r) - c2*g) + c3*b
+        float cb = ((128.0f - static_cast<float>(0.168736) * r) -
+                    static_cast<float>(0.331264) * g) +
+                   0.5f * b;
+        float cr = ((128.0f + 0.5f * r) - static_cast<float>(0.418688) * g) -
+                   static_cast<float>(0.081312) * b;
+        if (cb < 0.0f) cb = 0.0f;
+        if (cb > 255.0f) cb = 255.0f;
+        if (cr < 0.0f) cr = 0.0f;
+        if (cr > 255.0f) cr = 255.0f;
+        *cbp++ = static_cast<uint8_t>(cb);  // truncation, like np.astype
+        *crp++ = static_cast<uint8_t>(cr);
+      }
+    }
+  } else {
+    std::memset(cbp, 128, static_cast<size_t>(hc) * wc * 2);
+  }
+  return p + 2 * static_cast<size_t>(hc) * wc;
+}
+
 }  // namespace
 
 extern "C" {
@@ -192,81 +275,128 @@ int compact_yc12(const uint8_t* rgb, const uint8_t* gray_in,
     }
   }
 
-  // ---- depth: strided u16 -> sqrt code (12-bit pairs -> 3 B or 10-bit
-  // quads -> 5 B) ----------------------------------------------------------
-  const uint16_t* lut = depth_bits == 10 ? d10_lut() : d12_lut();
-  const int group = depth_bits == 10 ? 4 : 2;
-  uint16_t qg[4];
-  int pn = 0;
-  for (int y = 0; y < H; y += s) {
-    const uint16_t* drow = d16 ? d16 + static_cast<size_t>(y) * W : nullptr;
-    const float* frow =
-        dmeters ? dmeters + static_cast<size_t>(y) * W : nullptr;
-    for (int x = 0; x < W; x += s) {
-      uint16_t d;
-      if (drow) {
-        d = drow[x];
-      } else {
-        float m = frow[x];
-        // NaN/±inf/negative -> 0 (np.nan_to_num + clip semantics)
-        if (!(m > 0.0f) || !std::isfinite(m)) m = 0.0f;
-        float scaled = m * 5000.0f;
-        d = scaled >= 65535.0f ? 65535
-                               : static_cast<uint16_t>(scaled);  // truncation
+  // ---- depth + chroma tails (shared plane encoders) ----------------------
+  p = encode_depth_plane(d16, dmeters, H, W, s, depth_bits, p);
+  p = encode_chroma_planes(rgb, H, W, chroma_mult * s, p);
+  return static_cast<int>(p - out);
+}
+
+// Fixed-rate 8x8 block-DCT luma wire (tpu_ingest_format=ydct) — the C twin
+// of ops/dct_wire.py encode_luma_dct followed by the standard depth/chroma
+// tails. The coded spec (bit_alloc / qstep / zigzag, k_coded positions) is
+// passed in from Python so the format stays defined in ONE place
+// (ops/dct_wire._SPEC). Output luma section: per-position bit planes, each
+// byte-aligned (numpy packbits layout), MSB-first within a code.
+//
+// Near-exactness contract (tests/test_dct_wire.py): the DCT here
+// accumulates in double against the same f32-rounded basis, so codes can
+// differ from the numpy f32 GEMM encode by ±1 ulp-at-the-quantizer-edge in
+// a ~1e-4 fraction of positions — both decode through the SAME canonical
+// decoder within 1 gray level of each other. (The decoders, device and
+// numpy, are bit-exact twins; encoders are near-exact by design, like two
+// JPEG encoders sharing one decoder.)
+int compact_ydct(const uint8_t* rgb, const uint8_t* gray_in,
+                 const uint16_t* d16, const float* dmeters, int H, int W,
+                 int stride, int depth_bits, int chroma_mult,
+                 const int32_t* bit_alloc, const float* qstep,
+                 const int32_t* zigzag, int k_coded, uint8_t* out) {
+  if ((rgb == nullptr) == (gray_in == nullptr)) return -1;
+  if ((d16 == nullptr) == (dmeters == nullptr)) return -1;
+  if (stride < 1 || H % 8 != 0 || W % 8 != 0) return -1;
+  if (depth_bits != 10 && depth_bits != 12) return -1;
+  if (chroma_mult != 2 && chroma_mult != 4) return -1;
+  if (k_coded < 1 || k_coded > 64) return -1;
+  const int s = stride;
+  const int hs = (H + s - 1) / s, ws = (W + s - 1) / s;
+  if ((hs * ws) % (depth_bits == 10 ? 4 : 2) != 0) return -1;
+
+  // f32-rounded orthonormal DCT-II basis (matches ops/dct_wire.DCT8)
+  static float D[8][8];
+  static bool d_init = false;
+  if (!d_init) {
+    for (int k = 0; k < 8; ++k)
+      for (int n = 0; n < 8; ++n) {
+        double v = std::cos(M_PI * (2 * n + 1) * k / 16.0) * std::sqrt(0.25);
+        if (k == 0) v *= std::sqrt(0.5);
+        D[k][n] = static_cast<float>(v);
       }
-      qg[pn++] = lut[d];
-      if (pn == group) {
-        if (group == 2) {
-          p[0] = static_cast<uint8_t>(qg[0] & 0xFF);
-          p[1] = static_cast<uint8_t>(((qg[0] >> 8) & 0x0F) |
-                                      ((qg[1] & 0x0F) << 4));
-          p[2] = static_cast<uint8_t>(qg[1] >> 4);
-          p += 3;
-        } else {  // 4 x 10-bit -> 5 B, little-endian bit stream
-          p[0] = static_cast<uint8_t>(qg[0] & 0xFF);
-          p[1] = static_cast<uint8_t>((qg[0] >> 8) | ((qg[1] & 0x3F) << 2));
-          p[2] = static_cast<uint8_t>((qg[1] >> 6) | ((qg[2] & 0x0F) << 4));
-          p[3] = static_cast<uint8_t>((qg[2] >> 4) | ((qg[3] & 0x03) << 6));
-          p[4] = static_cast<uint8_t>(qg[3] >> 2);
-          p += 5;
-        }
-        pn = 0;
-      }
-    }
+    d_init = true;
   }
 
-  // ---- chroma at stride chroma_mult*s: BT.601 Cb then Cr planes ----------
-  const int cs = chroma_mult * s;
-  const int hc = (H + cs - 1) / cs, wc = (W + cs - 1) / cs;
-  uint8_t* cbp = p;
-  uint8_t* crp = p + static_cast<size_t>(hc) * wc;
-  if (rgb) {
-    for (int y = 0; y < H; y += cs) {
-      const uint8_t* rp = rgb + static_cast<size_t>(y) * W * 3;
-      for (int x = 0; x < W; x += cs) {
-        const uint8_t* px = rp + 3 * x;
-        float r = static_cast<float>(px[0]);
-        float g = static_cast<float>(px[1]);
-        float b = static_cast<float>(px[2]);
-        // numpy f32 evaluation order: ((128 - c1*r) - c2*g) + c3*b
-        float cb = ((128.0f - static_cast<float>(0.168736) * r) -
-                    static_cast<float>(0.331264) * g) +
-                   0.5f * b;
-        float cr = ((128.0f + 0.5f * r) - static_cast<float>(0.418688) * g) -
-                   static_cast<float>(0.081312) * b;
-        if (cb < 0.0f) cb = 0.0f;
-        if (cb > 255.0f) cb = 255.0f;
-        if (cr < 0.0f) cr = 0.0f;
-        if (cr > 255.0f) cr = 255.0f;
-        *cbp++ = static_cast<uint8_t>(cb);  // truncation, like np.astype
-        *crp++ = static_cast<uint8_t>(cr);
+  const int n_blocks = (H / 8) * (W / 8);
+  // per-position bit-plane cursors (each plane byte-aligned like packbits)
+  size_t plane_off[64];
+  size_t luma_bytes = 0;
+  for (int pp = 0; pp < k_coded; ++pp) {
+    if (bit_alloc[pp] < 1 || bit_alloc[pp] > 16) return -1;
+    plane_off[pp] = luma_bytes;
+    luma_bytes +=
+        (static_cast<size_t>(n_blocks) * bit_alloc[pp] + 7) / 8;
+  }
+  std::memset(out, 0, luma_bytes);
+
+  const int bw = W / 8;
+  double x[8][8], z[8][8];
+  for (int blk = 0; blk < n_blocks; ++blk) {
+    const int by = blk / bw, bx = blk % bw;
+    // load the 8x8 luma block (RGB -> Y with the fixed-point formula)
+    for (int i = 0; i < 8; ++i) {
+      const int y = by * 8 + i;
+      if (rgb) {
+        const uint8_t* rp =
+            rgb + (static_cast<size_t>(y) * W + bx * 8) * 3;
+        for (int j = 0; j < 8; ++j) {
+          const uint8_t* px = rp + 3 * j;
+          x[i][j] = static_cast<double>(
+              (px[0] * 77 + px[1] * 150 + px[2] * 29) >> 8);
+        }
+      } else {
+        const uint8_t* gp = gray_in + static_cast<size_t>(y) * W + bx * 8;
+        for (int j = 0; j < 8; ++j) x[i][j] = static_cast<double>(gp[j]);
       }
     }
-  } else {
-    std::memset(cbp, 128, static_cast<size_t>(hc) * wc * 2);
-    crp += static_cast<size_t>(hc) * wc;
+    // separable DCT: Z = X @ D^T, Y = D @ Z (double accumulation)
+    for (int i = 0; i < 8; ++i)
+      for (int k = 0; k < 8; ++k) {
+        double acc = 0.0;
+        for (int j = 0; j < 8; ++j) acc += x[i][j] * D[k][j];
+        z[i][k] = acc;
+      }
+    for (int pp = 0; pp < k_coded; ++pp) {
+      const int idx = zigzag[pp];
+      const int u = idx >> 3, v = idx & 7;
+      double acc = 0.0;
+      for (int i = 0; i < 8; ++i) acc += D[u][i] * z[i][v];
+      const int b = bit_alloc[pp];
+      const double sstep = static_cast<double>(qstep[pp]);
+      long q = std::lround(std::nearbyint(acc / sstep));
+      if (pp == 0) {
+        const long hi = (1L << b) - 1;
+        q = q < 0 ? 0 : (q > hi ? hi : q);
+      } else {
+        const long half = 1L << (b - 1);
+        q = q < -half ? -half : (q > half - 1 ? half - 1 : q);
+        q += half;
+      }
+      // write b bits MSB-first at bit position blk*b of plane pp:
+      // place the code in a 24-bit window at [shift, shift+b) and OR the
+      // three covered bytes (b <= 16, shift <= 7 -> always fits; trailing
+      // OR-of-zero bytes may touch the next plane's zeroed prefix, which
+      // is a no-op)
+      const size_t bitpos = static_cast<size_t>(blk) * b;
+      uint8_t* plane = out + plane_off[pp] + (bitpos >> 3);
+      const uint32_t window = static_cast<uint32_t>(q)
+                              << (24 - (bitpos & 7) - b);
+      plane[0] |= static_cast<uint8_t>(window >> 16);
+      plane[1] |= static_cast<uint8_t>(window >> 8);
+      plane[2] |= static_cast<uint8_t>(window);
+    }
   }
-  return static_cast<int>((crp)-out);
+  uint8_t* p = out + luma_bytes;
+
+  p = encode_depth_plane(d16, dmeters, H, W, s, depth_bits, p);
+  p = encode_chroma_planes(rgb, H, W, chroma_mult * s, p);
+  return static_cast<int>(p - out);
 }
 
 // Temporal-delta (P-frame) wire encoder — bit-exact twin of the numpy path
@@ -342,16 +472,8 @@ int compact_delta(const uint8_t* rgb, const uint8_t* gray_in,
     const float* frow =
         dmeters ? dmeters + static_cast<size_t>(y) * W : nullptr;
     for (int x = 0; x < W; x += s, ++di) {
-      uint16_t d;
-      if (drow) {
-        d = drow[x];
-      } else {
-        float m = frow[x];
-        if (!(m > 0.0f) || !std::isfinite(m)) m = 0.0f;
-        float scaled = m * 5000.0f;
-        d = scaled >= 65535.0f ? 65535 : static_cast<uint16_t>(scaled);
-      }
-      int r = static_cast<int>(lut[d]) - static_cast<int>(prev_qd[di]);
+      int r = static_cast<int>(lut[depth_sample(drow, frow, x)]) -
+              static_cast<int>(prev_qd[di]);
       if (r < -16) {
         r = -16;
         ++n_clamp;
@@ -377,36 +499,8 @@ int compact_delta(const uint8_t* rgb, const uint8_t* gray_in,
   if (n_clamp > clamp_budget) return -2;
 
   // ---- chroma tail: identical to the I-frame layout --------------------
-  const int cs = chroma_mult * s;
-  const int hc = (H + cs - 1) / cs, wc = (W + cs - 1) / cs;
-  uint8_t* cbp = p;
-  uint8_t* crp = p + static_cast<size_t>(hc) * wc;
-  if (rgb) {
-    for (int y = 0; y < H; y += cs) {
-      const uint8_t* rp = rgb + static_cast<size_t>(y) * W * 3;
-      for (int x = 0; x < W; x += cs) {
-        const uint8_t* px = rp + 3 * x;
-        float r = static_cast<float>(px[0]);
-        float g = static_cast<float>(px[1]);
-        float b = static_cast<float>(px[2]);
-        float cb = ((128.0f - static_cast<float>(0.168736) * r) -
-                    static_cast<float>(0.331264) * g) +
-                   0.5f * b;
-        float cr = ((128.0f + 0.5f * r) - static_cast<float>(0.418688) * g) -
-                   static_cast<float>(0.081312) * b;
-        if (cb < 0.0f) cb = 0.0f;
-        if (cb > 255.0f) cb = 255.0f;
-        if (cr < 0.0f) cr = 0.0f;
-        if (cr > 255.0f) cr = 255.0f;
-        *cbp++ = static_cast<uint8_t>(cb);
-        *crp++ = static_cast<uint8_t>(cr);
-      }
-    }
-  } else {
-    std::memset(cbp, 128, static_cast<size_t>(hc) * wc * 2);
-    crp += static_cast<size_t>(hc) * wc;
-  }
-  return static_cast<int>(crp - out);
+  p = encode_chroma_planes(rgb, H, W, chroma_mult * s, p);
+  return static_cast<int>(p - out);
 }
 
 }  // extern "C"

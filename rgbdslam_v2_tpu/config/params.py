@@ -174,16 +174,26 @@ PARAM_DEFS = [
     _p("tpu_mesh_devices", 1, "[tpu] devices in the candidate-sharding mesh"),
     _p("tpu_seed", 0, "[tpu] PRNG seed for RANSAC / sampling"),
     _p("tpu_drain_interval", 8, "[tpu] frames between host bookkeeping drains (fast path)"),
+    _p("tpu_drain_pipelined", True,
+       "[tpu] drain step summaries as ONE stacked device array whose async "
+       "copy is consumed at the NEXT drain (host-local get) instead of N "
+       "separate blocking pulls — removes the ~80 ms fixed per-drain tunnel "
+       "cost (tools/frame_budget.py); bookkeeping lags one extra drain "
+       "interval on the fast path, consistency paths still flush "
+       "synchronously"),
     _p("tpu_frames_per_step", 1,
        "[tpu] frames fused into one device dispatch (1 or 2; 2 halves the "
        "per-frame dispatch/transfer round-trips on high-latency links)"),
     _p("tpu_ingest_format", "yc12",
-       "[tpu] wire format of the per-frame ingest buffer: yc12 (dithered "
-       "6-bit Y + 10-bit sqrt stride-s depth + sparse 4:2:0 chroma, "
-       "0.34 MB/frame at defaults) | raw (u16 depth + stride-s RGB, "
-       "1.15 MB/frame). The tunnel link (~30-45 MB/s) makes the "
-       "payload size the throughput bound; falls back to raw when the frame "
-       "size is not divisible by 2x the cloud stride"),
+       "[tpu] wire format of the per-frame ingest buffer: yc12 (gray_bits "
+       "luma + depth_bits sqrt stride-s depth + sparse 4:2:0 chroma, "
+       "0.43 MB/frame at 8/12 defaults) | ydct (yc12 with the luma plane "
+       "block-DCT coded at a fixed ~2.3 bits/px, 0.21 MB/frame — device "
+       "decode is one MXU matmul; see ops/dct_wire.py; falls back to yc12 "
+       "when the frame is not divisible by 8) | raw (u16 depth + stride-s "
+       "RGB, 1.15 MB/frame). The tunnel link (~27-38 MB/s eager, WIRE.md) "
+       "makes the payload size the throughput bound; falls back to raw "
+       "when the frame size is not divisible by 2x the cloud stride"),
     _p("tpu_gray_bits", 8,
        "[tpu] luma bits on the wire for the yc12 ingest: 8 (1 B/px, exact "
        "luma — the default), 6 (4 px -> 3 B with Bayer-ordered dithering, "

@@ -232,6 +232,15 @@ def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
                            _chroma_mult(H, W, stride))
         if out is not None:
             return out
+    if fmt == "ydct":
+        # Single-pass C DCT encoder (native/compact_ingest.cpp
+        # compact_ydct): ~0.6 ms vs ~4-6 ms numpy; None -> numpy fallback.
+        from ..io.native_loader import compact_ydct as _native_ydct
+
+        out = _native_ydct(rgb, depth, stride, depth_bits,
+                           _chroma_mult(H, W, stride))
+        if out is not None:
+            return out
     if rgb.ndim == 3:
         try:  # cv2's SIMD cvtColor is ~20x the numpy reduction (14 -> 0.7 ms)
             import cv2
@@ -253,8 +262,14 @@ def compact_frame(rgb, depth, stride: int, fmt: str = "yc12",
         d = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
         d16 = np.clip(d * DEPTH_SCALE, 0, 65535).astype(np.uint16)
 
-    if fmt == "yc12":
-        if gray_bits == 6:
+    if fmt in ("yc12", "ydct"):
+        if fmt == "ydct":
+            # fixed-rate block-DCT luma (ops/dct_wire.py): ~2.3 bits/px,
+            # device decode is one MXU matmul fused into the step program
+            from ..ops.dct_wire import encode_luma_dct
+
+            gray_wire = encode_luma_dct(gray8)
+        elif gray_bits == 6:
             gray_wire = _pack6(_dither6(gray8).reshape(-1))
         elif gray_bits == 5:
             gray_wire = _pack5(_dither6(gray8, bits=5).reshape(-1))
@@ -367,7 +382,11 @@ def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6,
     step program. gray_bits=6 unpacks the 4-px-per-3-B luma with
     bit-replication ((q<<2)|(q>>4)); gray_bits=5 the 8-px-per-5-B form
     ((q<<3)|(q>>2))."""
-    if gray_bits == 8:
+    if gray_bits == "dct":
+        from ..ops.dct_wire import dct_luma_len
+
+        n_gray = dct_luma_len(H, W)
+    elif gray_bits == 8:
         n_gray = H * W
     elif gray_bits == 6:
         n_gray = (H * W // 4) * 3
@@ -377,7 +396,11 @@ def _unpack_yc12(packed, H: int, W: int, stride: int, gray_bits: int = 6,
     cm = _chroma_mult(H, W, stride)
     hc, wc = H // (cm * stride), W // (cm * stride)
     codes_g = None
-    if gray_bits == 5:
+    if gray_bits == "dct":
+        from ..ops.dct_wire import decode_luma_dct_dev
+
+        gray8 = decode_luma_dct_dev(packed[:n_gray], H, W)
+    elif gray_bits == 5:
         q = _unpack5_codes_dev(packed[:n_gray]).reshape(H, W)
         gray8 = ((q << 3) | (q >> 2)).astype(jnp.uint8)
         codes_g = q.astype(jnp.uint8)
@@ -598,9 +621,10 @@ def _prepare_and_extract(
     from ..models.orb import feature_depth_map
 
     H, W = cam.height, cam.width
-    if fmt == "yc12":
+    if fmt in ("yc12", "ydct"):
         gray8, depth_m, color_small = _unpack_yc12(
-            packed, H, W, stride, gray_bits, depth_bits
+            packed, H, W, stride,
+            "dct" if fmt == "ydct" else gray_bits, depth_bits
         )
         kp, depth_small = _finish_yc12(
             extractor, cam, stride, min_depth, max_depth,
@@ -987,7 +1011,13 @@ class GraphManager:
         self.ingest_fmt = p["tpu_ingest_format"]
         self.gray_bits = p["tpu_gray_bits"]
         self.depth_bits = p["tpu_depth_bits"]
-        if self.ingest_fmt == "yc12" and (
+        if self.ingest_fmt == "ydct" and (cam.height % 8 or cam.width % 8):
+            logger.warning(
+                "frame %dx%d not divisible by 8; ydct ingest falls back "
+                "to yc12", cam.width, cam.height
+            )
+            self.ingest_fmt = "yc12"
+        if self.ingest_fmt in ("yc12", "ydct") and (
             cam.height % (2 * s) or cam.width % (2 * s)
         ):
             logger.warning(
@@ -1154,6 +1184,9 @@ class GraphManager:
         self._sharded_cmp = None  # mesh-sharded compare (tpu_mesh_devices>1)
         # fast-path (device-decided) bookkeeping
         self._pending = []  # (new_id, padded_cand_ids, summary)
+        self._staged_drains = []  # [(pend, stacked summaries)] in flight
+        self._contrast_ema = None  # host luma-contrast EMA (starvation alert)
+        self._starved_mode = False  # contrast collapsed: drains go sync
         # retroactive fast-path ICP rescues in flight: (pred_ids, slots,
         # flags device array with async copy started) — see
         # _retro_rescue_kernel / _dispatch_retro_rescue
@@ -1876,7 +1909,8 @@ class GraphManager:
             self.n_edges = e_start + B + 1
             self.edge_pairs.extend([None] * (B + 1))
             self.edge_types.extend([-1] * (B + 1))
-            summary.copy_to_host_async()
+            if not p["tpu_drain_pipelined"]:
+                summary.copy_to_host_async()
             self._pending.append((new_id, list(padded), e_start, summary))
             self.n_nodes += 1
             self.timestamps.append(ts)
@@ -1889,6 +1923,10 @@ class GraphManager:
             )
             counts.copy_to_host_async()
             self._retrieval_scores = (id1, counts)
+        alert0 = self._starvation_alert(compact0)
+        if self._starvation_alert(compact1) or alert0:
+            self._drain_pending()  # see _add_frame_device: ladder latency
+        self._consume_ready_staged()
         if len(self._pending) >= p["tpu_drain_interval"]:
             self._drain_pending(keep_newest=2)
         self.nodes_since_optimize += 2
@@ -1963,7 +2001,8 @@ class GraphManager:
         # happens several frames later, so the transfer lands long before
         # it's read and the drain's device_get never pays the link
         # round-trip (on the tunnel a blocking pull costs ~40-80 ms).
-        summary.copy_to_host_async()
+        if not p["tpu_drain_pipelined"]:
+            summary.copy_to_host_async()
         self._pending.append((new_id, list(padded), edge_start, summary))
         self.n_nodes += 1
         self.timestamps.append(timestamp)
@@ -1984,6 +2023,12 @@ class GraphManager:
             )
             counts.copy_to_host_async()
             self._retrieval_scores = (new_id, counts)
+        if self._starvation_alert(compact):
+            # contrast collapsed THIS frame: flush everything, including
+            # this frame's summary, so the adaptive ladder reacts on the
+            # next frame instead of a drain interval later
+            self._drain_pending()
+        self._consume_ready_staged()
         if len(self._pending) >= p["tpu_drain_interval"]:
             # keep the newest 2 entries pending: their device steps are still
             # in flight, and pulling them would stall the host for the whole
@@ -2004,20 +2049,143 @@ class GraphManager:
         keep_newest > 0 leaves the most recent entries pending (their device
         steps may still be in flight; the async copies of older entries have
         landed, so pulling them is free). All blocking/consistency paths call
-        with keep_newest=0."""
+        with keep_newest=0.
+
+        tpu_drain_pipelined restructures the pull for the eager tunnel
+        (WIRE.md: every blocking d2h costs >=28 ms): instead of getting N
+        separate summary buffers, the drain stacks them into ONE device
+        array (one tiny dispatch), starts its async copy, and processes it
+        at the NEXT drain — by then the copy landed, so the get is
+        host-local and the per-drain fixed cost (~80 ms measured,
+        tools/frame_budget.py) drops to ~0. Bookkeeping lags at most one
+        extra drain interval; consistency paths (keep_newest=0) flush the
+        staged batch synchronously, so every blocking caller still sees
+        fully current host mirrors."""
         self._consume_rescues()
-        if len(self._pending) <= keep_newest:
+        batches = []  # (pend entries, stacked array or None)
+        if len(self._pending) > keep_newest:
+            if keep_newest:
+                pend = self._pending[:-keep_newest]
+                self._pending = self._pending[-keep_newest:]
+            else:
+                pend = self._pending
+                self._pending = []
+            shapes = {s.shape for (_, _, _, s) in pend}
+            if (self.params["tpu_drain_pipelined"] and len(shapes) == 1
+                    and not self._starved_mode):
+                stack = jnp.stack([s for (_, _, _, s) in pend])
+                stack.copy_to_host_async()
+                self._staged_drains.append((pend, stack))
+                if keep_newest:
+                    # consume staged batches whose async copy already
+                    # landed (is_ready is a local check, no round trip);
+                    # cap the in-flight queue at 2 so host bookkeeping
+                    # never lags unboundedly on a stalled tunnel
+                    while self._staged_drains and (
+                        len(self._staged_drains) > 2
+                        or getattr(self._staged_drains[0][1], "is_ready",
+                                   lambda: True)()
+                    ):
+                        batches.append(self._staged_drains.pop(0))
+                else:
+                    while self._staged_drains:
+                        batches.append(self._staged_drains.pop(0))
+            else:
+                # drains must land in frame order: anything already staged
+                # predates this pend (mixed-shape pend or a live toggle of
+                # tpu_drain_pipelined), so flush the staged queue first
+                while self._staged_drains:
+                    batches.append(self._staged_drains.pop(0))
+                batches.append((pend, None))
+        elif keep_newest == 0 and self._staged_drains:
+            while self._staged_drains:
+                batches.append(self._staged_drains.pop(0))
+        if not batches:
             return
+        retro_fallbacks = []  # (new_id, fb_slot) for the ICP rescue
+        for pend, stack in batches:
+            if stack is not None:
+                flats = list(np.asarray(stack))
+            else:
+                flats = jax.device_get([s for (_, _, _, s) in pend])
+            self._drain_batch(pend, flats, retro_fallbacks)
+        # Feature starvation kills the pipelining win: the adaptive ladder
+        # (_adapt_detector) reacts to drained keypoint counts, and the one-
+        # drain staging lag doubles its reaction latency — measured 2x the
+        # constant-position edges / +50% ATE on the dark_stretch suite. So
+        # while the ladder is engaged (threshold below base), consume the
+        # just-staged batch synchronously too: one blocking pull per
+        # STARVED drain (~30 ms on the tunnel) buys back the old latency
+        # exactly when the ladder must react inside the starved stretch.
+        while (self._staged_drains and self._base_threshold is not None
+               and self.extractor.fast_threshold < self._base_threshold):
+            pend, stack = self._staged_drains.pop(0)
+            self._drain_batch(pend, list(np.asarray(stack)), retro_fallbacks)
+        if retro_fallbacks and self.params["use_icp"]:
+            self._dispatch_retro_rescue(retro_fallbacks)
+
+    def _starvation_alert(self, packed) -> bool:
+        """Host-side early warning for an abrupt scene-contrast collapse
+        (auto-exposure failure / lights off — the dark_stretch regime),
+        from the packed wire's luma bytes at zero device syncs.
+
+        Why: the zero-pull fast path learns keypoint counts only at drain
+        time, and the pipelined drain consumes summaries only once their
+        async copy lands behind the dispatch queue — measured 10+ frames of
+        adaptive-detector lag, which doubled the constant-position edges on
+        the dark_stretch suite (the ladder engaged after the dark stretch
+        had passed). A >2.5x contrast step on the host triggers ONE fully
+        blocking drain (~100 ms on the tunnel, once per lighting event) so
+        the ladder sees the starved count on the very next frame. The EMA
+        re-bases on alert, so a sustained dark stretch alerts once."""
+        if self.wire_delta or not isinstance(packed, np.ndarray):
+            return False  # P-frame residuals / device-put buffers: skip
+        H, W = self.cam.height, self.cam.width
+        if self.ingest_fmt == "ydct":
+            from ..ops.dct_wire import BIT_ALLOC
+
+            # DC bit-plane bytes (block means): exactly the right signal
+            n = ((H // 8) * (W // 8) * int(BIT_ALLOC[0]) + 7) // 8
+        elif self.ingest_fmt == "yc12" and self.gray_bits == 6:
+            n = (H * W // 4) * 3
+        elif self.ingest_fmt == "yc12" and self.gray_bits == 5:
+            n = (H * W // 8) * 5
+        else:  # raw / yc12 gray8: plain luma bytes
+            n = H * W
+        c = float(np.asarray(packed[:n:127], np.float32).std()) + 1e-3
+        ema = self._contrast_ema
+        if ema is None:
+            self._contrast_ema = c
+            return False
+        alert = abs(float(np.log(c / ema))) > 0.916  # log(2.5)
+        if alert:
+            # a collapse ENTERS starved mode (drains go synchronous until
+            # contrast recovers: at starvation thresholds the ladder needs
+            # per-drain feedback, and matching failures need the rescue
+            # machinery to see fresh summaries); a recovery CLEARS it
+            self._starved_mode = c < ema
+            self._contrast_ema = c
+        else:
+            self._contrast_ema = 0.9 * ema + 0.1 * c
+        return alert
+
+    def _consume_ready_staged(self):
+        """Per-frame zero-sync consumption of staged drain batches whose
+        async copy landed (tpu_drain_pipelined): keeps the adaptive-detector
+        feedback latency at ~the transfer RTT (1-2 frames) instead of a
+        full drain interval — the onset lag is what turned the dark_stretch
+        suite's constant-position edges from 7 to 14."""
+        retro = []
+        while self._staged_drains and getattr(
+                self._staged_drains[0][1], "is_ready", lambda: True)():
+            pend, stack = self._staged_drains.pop(0)
+            self._drain_batch(pend, list(np.asarray(stack)), retro)
+        if retro and self.params["use_icp"]:
+            self._dispatch_retro_rescue(retro)
+
+    def _drain_batch(self, pend, flats, retro_fallbacks):
         from .device_step import StepSummary
 
-        if keep_newest:
-            pend = self._pending[:-keep_newest]
-            self._pending = self._pending[-keep_newest:]
-        else:
-            pend = self._pending
-            self._pending = []
-        retro_fallbacks = []  # (new_id, fb_slot) for the ICP rescue
-        flats = jax.device_get([s for (_, _, _, s) in pend])
         for (new_id, padded, edge_start, _), flat in zip(pend, flats):
             s = StepSummary.unpack(np.asarray(flat), len(padded))
             pred_id = new_id - 1
@@ -2075,8 +2243,6 @@ class GraphManager:
             self._maybe_clear_non_keyframes(new_id)
             # adaptive detection feedback (newest drained frame's count)
             self._adapt_detector(s.n_valid_kp)
-        if retro_fallbacks and self.params["use_icp"]:
-            self._dispatch_retro_rescue(retro_fallbacks)
 
     def _dispatch_retro_rescue(self, fallbacks):
         """ONE batched on-device GICP rescue of this drain's constant-
@@ -2837,6 +3003,7 @@ class GraphManager:
     def load_state(self, path):
         self._drain_pending()
         self._pending = []
+        self._staged_drains = []
         import jax
         import json
 

@@ -25,3 +25,31 @@ jax.config.update("jax_enable_x64", False)
 import rgbdslam_v2_tpu  # noqa: E402
 
 rgbdslam_v2_tpu.enable_compilation_cache()
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--shard", default=None,
+        help="K/N: run only the K-th (1-based) of N stable hash-based test "
+        "shards. The heavy tier compiles several multi-GB XLA programs; one "
+        "process accumulating all of them has segfaulted under memory "
+        "pressure (round-4 driver run), so tools/run_heavy.sh runs the tier "
+        "as sequential sharded processes.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    shard = config.getoption("--shard")
+    if not shard:
+        return
+    import hashlib
+    import pytest
+
+    k, n = (int(x) for x in shard.split("/"))
+    skip = pytest.mark.skip(reason=f"not in shard {k}/{n}")
+    for item in items:
+        # hash the FILE, not the test id: keeps a module's compile cache
+        # (shared fixtures, same jit programs) within one process
+        h = int(hashlib.sha1(item.fspath.basename.encode()).hexdigest(), 16)
+        if h % n != k - 1:
+            item.add_marker(skip)

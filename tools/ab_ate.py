@@ -65,6 +65,14 @@ VARIANTS = {
     # ingest — if raw-8 reads ~0.025+ on the re-rendered cache, the "L1
     # regression" is the data/run-variance, not the wire
     "d12-gray8": dict(tpu_depth_bits=12, tpu_gray_bits=8),
+    # round-5 wire levers (WIRE.md: ~27-38 MB/s eager tunnel -> bytes/frame
+    # bound fps): block-DCT luma (0.43 -> 0.21 MB/frame) and the pipelined
+    # drain (one staged stacked summary pull instead of N per-drain gets)
+    "ydct": dict(tpu_ingest_format="ydct"),
+    "ydct-d10": dict(tpu_ingest_format="ydct", tpu_depth_bits=10),
+    "nodrainpipe": dict(tpu_drain_pipelined=False),
+    "ydct-nodrainpipe": dict(tpu_ingest_format="ydct",
+                             tpu_drain_pipelined=False),
 }
 
 names = sys.argv[1:] or list(VARIANTS)
