@@ -194,6 +194,15 @@ PARAM_DEFS = [
        "RGB, 1.15 MB/frame). The tunnel link (~27-38 MB/s eager, WIRE.md) "
        "makes the payload size the throughput bound; falls back to raw "
        "when the frame size is not divisible by 2x the cloud stride"),
+    _p("tpu_dct_quality", "2.3",
+       "[tpu] rate/quality point of the ydct luma wire, bits/px: 2.3 "
+       "(87 KB @ 640x480, the throughput point) | 2.7 (103 KB, same coded "
+       "positions at finer quantizer steps) | 3.1 (118 KB, + 8 more coded "
+       "high-frequency positions). Offline feature-stability scores in "
+       "ops/dct_wire.SPECS; every default move is gated on the on-chip "
+       "protocol-ATE A/B (tools/ab_ate.py). Process-global like the format "
+       "itself (the wire is one contract between host encoder and device "
+       "decoder; compiled programs are keyed by wire length)"),
     _p("tpu_gray_bits", 8,
        "[tpu] luma bits on the wire for the yc12 ingest: 8 (1 B/px, exact "
        "luma — the default), 6 (4 px -> 3 B with Bayer-ordered dithering, "

@@ -1017,6 +1017,10 @@ class GraphManager:
                 "to yc12", cam.width, cam.height
             )
             self.ingest_fmt = "yc12"
+        if self.ingest_fmt == "ydct":
+            from ..ops import dct_wire
+
+            dct_wire.set_quality(str(p["tpu_dct_quality"]))
         if self.ingest_fmt in ("yc12", "ydct") and (
             cam.height % (2 * s) or cam.width % (2 * s)
         ):

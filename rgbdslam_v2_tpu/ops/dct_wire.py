@@ -83,6 +83,52 @@ QSTEP = np.asarray([s for _, s in _SPEC], np.float32)
 K_CODED = len(_SPEC)
 BITS_PER_BLOCK = int(BIT_ALLOC.sum())
 
+# Named rate/quality points (param tpu_dct_quality). Offline scores on the
+# bench content (tools/sweep_dct_specs.py: PSNR dB / FAST-600 corner
+# stability within 1px / mean corner shift px / smoothed-BRIEF pair flip %):
+#   2.3: 39.9 / 92.2% / 0.267 / 2.56   (87 KB @ 640x480)
+#   2.7: 41.2 / 93.4% / 0.233 / 1.72   (103 KB) — same ranges, finer steps
+#   3.1: 42.1 / 95.1% / 0.179 / 1.59   (118 KB) — + 8 more coded positions
+# The end-to-end gate for a default is the protocol-ATE A/B (tools/ab_ate.py).
+SPECS = {
+    "2.3": list(_SPEC),
+    "2.7": [
+        (11, 1.0),
+        (9, 3.0), (9, 3.0),
+        (8, 4.0), (8, 4.0), (8, 4.0),
+        (7, 5.0), (7, 5.0), (7, 5.0), (7, 5.0),
+        (6, 7.0), (6, 7.0), (6, 7.0), (6, 7.0), (6, 7.0),
+        (5, 10.0), (5, 10.0), (5, 10.0), (5, 10.0),
+        (5, 12.0), (5, 12.0), (5, 12.0), (5, 12.0), (5, 12.0),
+        (4, 16.0), (4, 16.0), (4, 16.0), (4, 16.0),
+    ],
+    "3.1": [
+        (11, 1.0),
+        (9, 3.0), (9, 3.0),
+        (8, 4.0), (8, 4.0), (8, 4.0),
+        (7, 5.0), (7, 5.0), (7, 5.0), (7, 5.0),
+        (6, 7.0), (6, 7.0), (6, 7.0), (6, 7.0), (6, 7.0),
+        (5, 10.0), (5, 10.0), (5, 10.0), (5, 10.0),
+        (5, 12.0), (5, 12.0), (5, 12.0), (5, 12.0), (5, 12.0),
+        (4, 16.0), (4, 16.0), (4, 16.0), (4, 16.0),
+    ] + [(3, 24.0)] * 8,
+}
+QUALITY = "2.3"
+
+
+def set_quality(name: str) -> None:
+    """Select a named rate/quality point (process-global, like the format
+    itself: the wire is a process-wide contract between the host encoder
+    and every compiled device decode; programs are keyed by wire length,
+    which differs per quality, so stale jit entries cannot be reused)."""
+    global QUALITY
+    if name not in SPECS:
+        raise ValueError(f"unknown tpu_dct_quality {name!r}; "
+                         f"choose from {sorted(SPECS)}")
+    if name != QUALITY:
+        _set_spec(SPECS[name])
+        QUALITY = name
+
 
 def _set_spec(spec):
     """Tuning hook (tools/tune_dct_wire.py only): swap the coded spec.

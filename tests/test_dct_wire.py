@@ -67,6 +67,64 @@ def test_roundtrip_quality():
     assert np.abs(bm(dec) - bm(img)).max() < 1.0
 
 
+def test_quality_points_roundtrip_and_isolation():
+    """Every named spec (tpu_dct_quality) encodes/decodes bit-exactly on
+    device vs numpy, lengths are distinct (jit programs stay shape-keyed),
+    and quality increases monotonically with rate."""
+    from rgbdslam_v2_tpu.ops import dct_wire as dw
+
+    img = _test_image()
+    lens, psnrs = [], []
+    try:
+        for q in sorted(dw.SPECS):
+            dw.set_quality(q)
+            wire = dw.encode_luma_dct(img)
+            assert len(wire) == dw.dct_luma_len(*img.shape)
+            ref = dw.decode_luma_dct_np(wire, *img.shape)
+            dev = np.asarray(dw.decode_luma_dct_dev(wire, *img.shape))
+            assert np.array_equal(ref, dev), q
+            lens.append(len(wire))
+            mse = np.mean((ref.astype(np.float32) - img) ** 2)
+            psnrs.append(10 * np.log10(255.0 ** 2 / mse))
+    finally:
+        dw.set_quality("2.3")
+    assert lens == sorted(set(lens)), lens  # distinct, increasing
+    assert psnrs == sorted(psnrs), psnrs    # rate buys quality
+    with pytest.raises(ValueError):
+        dw.set_quality("9.9")
+
+
+def test_quality_param_reaches_encoder_and_manager():
+    """tpu_dct_quality set on the ParameterServer changes the wire length
+    the manager allocates and the native encoder's output length."""
+    from rgbdslam_v2_tpu.config import ParameterServer
+    from rgbdslam_v2_tpu.core.camera import Intrinsics
+    from rgbdslam_v2_tpu.graph.manager import GraphManager, compact_frame
+    from rgbdslam_v2_tpu.ops import dct_wire as dw
+
+    cam = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+                     width=160, height=120)
+    rgb = np.repeat(_test_image(120, 160)[..., None], 3, axis=2)
+    depth = np.full((120, 160), 9000, np.uint16)
+    lens = {}
+    try:
+        for q in ("2.3", "3.1"):
+            params = ParameterServer(dict(
+                tpu_ingest_format="ydct", tpu_dct_quality=q,
+                max_keypoints=64, tpu_max_nodes=8, tpu_max_edges=32,
+                tpu_candidate_batch=2,
+            ))
+            m = GraphManager(cam, params)
+            assert dw.QUALITY == q
+            wire = compact_frame(rgb, depth, m.emm_stride, fmt="ydct",
+                                 depth_bits=m.depth_bits)
+            lens[q] = len(wire)
+            del m
+    finally:
+        dw.set_quality("2.3")
+    assert lens["3.1"] > lens["2.3"], lens
+
+
 def test_ydct_end_to_end_slam():
     """ydct ingest through the full fast path: tracks like yc12."""
     from rgbdslam_v2_tpu.config import ParameterServer

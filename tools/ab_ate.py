@@ -69,6 +69,11 @@ VARIANTS = {
     # bound fps): block-DCT luma (0.43 -> 0.21 MB/frame) and the pipelined
     # drain (one staged stacked summary pull instead of N per-drain gets)
     "ydct": dict(tpu_ingest_format="ydct"),
+    # higher-rate DCT quality points (round-5: ydct@2.3 read L1 0.0291 vs
+    # the yc12-8 0.022-0.024 band at 78 vs ~58-65 fps — these probe the
+    # rate/accuracy frontier; offline scores in ops/dct_wire.SPECS)
+    "ydct27": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7"),
+    "ydct31": dict(tpu_ingest_format="ydct", tpu_dct_quality="3.1"),
     "ydct-d10": dict(tpu_ingest_format="ydct", tpu_depth_bits=10),
     "nodrainpipe": dict(tpu_drain_pipelined=False),
     "ydct-nodrainpipe": dict(tpu_ingest_format="ydct",
