@@ -24,11 +24,14 @@ from rgbdslam_v2_tpu.config import ParameterServer
 from rgbdslam_v2_tpu.core.camera import TUM_DEFAULT
 from rgbdslam_v2_tpu.pipeline import SlamPipeline
 
-z = np.load("/root/repo/.bench_cache/frames_520_s2_n01.npz")
-poses, rgbs, depths = z["poses"], z["rgbs"], z["depths_u16"]
-n = len(rgbs)
-stamps = np.arange(n) / 30.0
-warmup = 20
+FRAMES_NPZ = "/root/repo/.bench_cache/frames_520_s2_n01.npz"
+
+BASE_PARAMS = dict(
+    max_keypoints=600, tpu_max_nodes=1024, tpu_max_edges=8192,
+    tpu_candidate_batch=8, ransac_iterations=200, optimizer_skip_step=10,
+    keep_all_nodes=True, observability_threshold=0.5,
+    pose_relative_to="inaffected", emm_skip_step=4,
+)
 
 VARIANTS = {
     "yc12-6": dict(tpu_ingest_format="yc12", tpu_gray_bits=6),
@@ -75,38 +78,48 @@ VARIANTS = {
     "ydct27": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7"),
     "ydct31": dict(tpu_ingest_format="ydct", tpu_dct_quality="3.1"),
     "ydct-d10": dict(tpu_ingest_format="ydct", tpu_depth_bits=10),
+    # depth-rate sensitivity at the accuracy-restoring luma point (r5:
+    # ydct27 L1 0.0222 = yc12-8 band; ydct31 0.0294 shows more luma rate
+    # does NOT help past 2.7; ydct-d10@2.3 read 0.0301 vs 0.0291 — depth
+    # 10-bit looked neutral but was confounded by the 2.3 luma error)
+    "ydct27-d10": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                       tpu_depth_bits=10),
     "nodrainpipe": dict(tpu_drain_pipelined=False),
     "ydct-nodrainpipe": dict(tpu_ingest_format="ydct",
                              tpu_drain_pipelined=False),
 }
 
-names = sys.argv[1:] or list(VARIANTS)
-for name in names:
-    over = VARIANTS[name]
-    params = ParameterServer(dict(
-        max_keypoints=600, tpu_max_nodes=1024, tpu_max_edges=8192,
-        tpu_candidate_batch=8, ransac_iterations=200, optimizer_skip_step=10,
-        keep_all_nodes=True, observability_threshold=0.5,
-        pose_relative_to="inaffected", emm_skip_step=4, **over,
-    ))
-    pipe = SlamPipeline(TUM_DEFAULT, params)
-    for i in range(warmup):
-        pipe.process_frame(rgbs[i], depths[i], float(stamps[i]),
-                           gt_pose=poses[0] if i == 0 else None)
-    pipe.manager.optimize(blocking=True)
-    float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
-    t0 = time.perf_counter()
-    pipe.params.set("skip_first_n_frames", warmup)
-    pipe.run_arrays(rgbs, depths, stamps)
-    float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
-    fps = (n - warmup) / (time.perf_counter() - t0)
-    st = pipe.manager.statistics()
-    with tempfile.TemporaryDirectory() as td:
-        rep = pipe.evaluation_protocol(
-            td, gt_stamps=list(stamps), gt_xyz=poses[:, :3, 3]
-        )
-    ate = "/".join(f"{rep.ate_rmse.get(l, float('nan')):.4f}"
-                   for l in range(5))
-    print(f"[A/B] {name}: {fps:.2f} fps, ATE L0..L4 {ate} m, "
-          f"{st['active_edges']} edges ({st['loop_edges']} loop)",
-          flush=True)
+def main(names):
+    z = np.load(FRAMES_NPZ)
+    poses, rgbs, depths = z["poses"], z["rgbs"], z["depths_u16"]
+    n = len(rgbs)
+    stamps = np.arange(n) / 30.0
+    warmup = 20
+    for name in names:
+        over = VARIANTS[name]
+        params = ParameterServer(dict(BASE_PARAMS, **over))
+        pipe = SlamPipeline(TUM_DEFAULT, params)
+        for i in range(warmup):
+            pipe.process_frame(rgbs[i], depths[i], float(stamps[i]),
+                               gt_pose=poses[0] if i == 0 else None)
+        pipe.manager.optimize(blocking=True)
+        float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
+        t0 = time.perf_counter()
+        pipe.params.set("skip_first_n_frames", warmup)
+        pipe.run_arrays(rgbs, depths, stamps)
+        float(np.asarray(pipe.manager.graph.poses[0, 0, 0]))
+        fps = (n - warmup) / (time.perf_counter() - t0)
+        st = pipe.manager.statistics()
+        with tempfile.TemporaryDirectory() as td:
+            rep = pipe.evaluation_protocol(
+                td, gt_stamps=list(stamps), gt_xyz=poses[:, :3, 3]
+            )
+        ate = "/".join(f"{rep.ate_rmse.get(l, float('nan')):.4f}"
+                       for l in range(5))
+        print(f"[A/B] {name}: {fps:.2f} fps, ATE L0..L4 {ate} m, "
+              f"{st['active_edges']} edges ({st['loop_edges']} loop)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or list(VARIANTS))
