@@ -183,10 +183,15 @@ def main():
                            gt_pose=poses[0] if i == 0 else None)
     pipe.manager.optimize(blocking=True)
 
-    # ---- phase 1: three windows; median reported, best printed -------------
+    # ---- phase 1: N windows; median reported, best printed -----------------
+    # 5 windows by default (BENCH_WINDOWS): both fps (~1.5x tunnel mood)
+    # and protocol ATE (graph topology depends on async-optimize timing
+    # relative to the frame stream) are per-window draws, so the official
+    # median needs more than 3 samples to be a stable statistic.
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "5"))
     window_fps = []
     pipes = []
-    for window in range(3):
+    for window in range(n_windows):
         pipe = make_pipe()
         for i in range(warmup):
             pipe.process_frame(rgbs[i], depths[i], float(stamps[i]),
@@ -235,7 +240,7 @@ def main():
         for l in range(5)
     }
     ate_str = "/".join(f"{ate.get(l, float('nan')):.4f}" for l in range(5))
-    print(f"[bench] 5-level protocol ATE (L0..L4, median of 3 windows): "
+    print(f"[bench] 5-level protocol ATE (L0..L4, median of {len(pipes)} windows): "
           f"{ate_str} m", file=sys.stderr)
 
     # BENCH_PHASE1_ONLY=1: headline fps + protocol ATE only — the A/B
@@ -264,13 +269,14 @@ def main():
     # ---- per-stage budget (stderr) -----------------------------------------
     if not phase1_only:
         try:
-            _stage_table(pipe, rgbs, depths)
+            stage = _stage_table(pipe, rgbs, depths)
         except Exception as exc:  # the table is diagnostic, never fatal
+            stage = None
             print(f"[bench] stage table failed: {exc}", file=sys.stderr)
 
         # ---- per-kernel device-time table (stderr) -------------------------
         try:
-            _device_table(pipe, rgbs, depths, median_fps)
+            _device_table(pipe, rgbs, depths, median_fps, stage=stage)
         except Exception as exc:
             print(f"[bench] device table failed: {exc}", file=sys.stderr)
 
@@ -297,7 +303,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "end-to-end SLAM throughput (median of 3 windows; best "
+                    "end-to-end SLAM throughput (median of " + str(len(pipes)) + " windows; best "
                     f"{best_fps:.1f}), 640x480 RGB-D, ORB-600, 8 candidates, "
                     "RANSAC-200, EMM on, depth noise 0.01z^2 + u16 "
                     "quantization, "
@@ -469,9 +475,11 @@ def _stage_table(pipe, rgbs, depths):
         f"online optimize dispatch {opt_disp:.1f} ms / complete {opt_wall:.1f} ms",
         file=sys.stderr,
     )
+    return {"compact": t_compact, "wire": h2d, "step_resident": step,
+            "bytes": nb}
 
 
-def _device_table(pipe, rgbs, depths, median_fps, n_steps=10):
+def _device_table(pipe, rgbs, depths, median_fps, n_steps=10, stage=None):
     """jax.profiler trace of n_steps steady-state frames -> per-op device
     times + a device-busy vs frame-budget split (the round-3 requirement:
     device-side evidence, not host-fenced wall time)."""
@@ -521,6 +529,23 @@ def _device_table(pipe, rgbs, depths, median_fps, n_steps=10):
           f"{frame_ms:.2f} ms budget ({100*busy_ms/frame_ms:.0f}% — "
           "remainder is the tunnel wire + host dispatch; ~0.46 MB/frame "
           "ingest on a ~25-45 MB/s link)", file=sys.stderr)
+    if stage:
+        # budget reconciliation (VERDICT r4 #1: the stage arithmetic must
+        # explain the frame time). Model: frame = wire(bytes) + device busy
+        # + per-dispatch host/client overhead (+ host compact when not
+        # overlapped by tpu_encode_ahead). step_resident times the dispatch
+        # with the wire ALREADY device-resident, so its excess over device
+        # busy is the pure dispatch/bookkeeping overhead per frame.
+        disp = max(stage["step_resident"] - busy_ms, 0.0)
+        compact = 0.0 if pipe.params["tpu_encode_ahead"] else stage["compact"]
+        explained = stage["wire"] + busy_ms + disp + compact
+        print(
+            f"[bench] budget reconciliation: frame {frame_ms:.2f} ms vs "
+            f"wire {stage['wire']:.2f} + busy {busy_ms:.2f} + dispatch "
+            f"{disp:.2f} + compact {compact:.2f} = {explained:.2f} ms "
+            f"({100 * explained / frame_ms:.0f}% explained)",
+            file=sys.stderr,
+        )
     print("[bench] top device ops (ms/frame):", file=sys.stderr)
     for name, us in agg.most_common(12):
         print(f"[bench]   {us/n_steps/1e3:7.3f}  {name[:80]}", file=sys.stderr)

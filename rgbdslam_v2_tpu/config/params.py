@@ -181,6 +181,13 @@ PARAM_DEFS = [
        "cost (tools/frame_budget.py); bookkeeping lags one extra drain "
        "interval on the fast path, consistency paths still flush "
        "synchronously"),
+    _p("tpu_encode_ahead", False,
+       "[tpu] run the host compact-frame encoder for upcoming frames on a "
+       "single worker thread during run_arrays, overlapping the native C "
+       "encode (ctypes releases the GIL) with the current frame's "
+       "relay-socket dispatch writes. Off by default pending the on-chip "
+       "A/B (tools/ab_ate.py ydct27-encahead); no effect on the delta "
+       "wire, whose closed-loop mirror must encode in dispatch order"),
     _p("tpu_frames_per_step", 1,
        "[tpu] frames fused into one device dispatch (1 or 2; 2 halves the "
        "per-frame dispatch/transfer round-trips on high-latency links)"),

@@ -248,22 +248,59 @@ class SlamPipeline:
 
         pair = p["tpu_frames_per_step"] >= 2
         delta = self.manager.wire_delta
+
+        def enc_at(pos):
+            i2 = idxs[pos]
+            return compact_frame(
+                rgbs[i2], maybe_scale_depth(depths[i2], dscale), stride,
+                fmt=fmt, gray_bits=gb, depth_bits=db)
+
+        # encode-ahead: one worker thread keeps the NEXT frames' host
+        # encodes in flight while this thread blocks on the relay-socket
+        # writes of the current dispatch (the compact encoder is native C —
+        # the ctypes call releases the GIL, so the two genuinely overlap on
+        # the single host core's wait time). Delta wire can't look ahead:
+        # its closed-loop DPCM mirror must advance frame by frame.
+        ex = None
+        futs = {}
+        if p["tpu_encode_ahead"] and not delta and len(idxs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = ThreadPoolExecutor(1)
+
+        def get_enc(pos):
+            if ex is None:
+                return enc_at(pos)
+            f = futs.pop(pos, None)
+            out = f.result() if f is not None else enc_at(pos)
+            for q in (pos + 1, pos + 2):
+                if q < len(idxs) and q not in futs:
+                    futs[q] = ex.submit(enc_at, q)
+            return out
+
+        try:
+            self._run_arrays_loop(idxs, rgbs, depths, stamps, gt_poses,
+                                  pair, delta, get_enc)
+        finally:
+            if ex is not None:
+                ex.shutdown(wait=False, cancel_futures=True)
+
+    def _run_arrays_loop(self, idxs, rgbs, depths, stamps, gt_poses,
+                         pair, delta, get_enc):
         k = 0
         while k < len(idxs):
             i = idxs[k]
-            # compact+pack on host (0.34 MB yc12, ONE buffer); the packed array
-            # goes to slam_step as a plain numpy argument — the jit call
-            # performs the single h2d itself. Measured against explicit
-            # device_put prefetching and 4-frame chunked transfers on the
-            # tunnel: the direct argument is the fastest and the least
-            # variable (the tunnel serializes transfer and compute anyway,
-            # so prefetch buys nothing and extra dispatches cost latency).
-            # In delta-wire mode the manager encodes at dispatch time
-            # instead (the host mirror must advance in lockstep with the
-            # device state), so cpt stays None here.
-            cpt = None if delta else compact_frame(
-                rgbs[i], maybe_scale_depth(depths[i], dscale), stride,
-                fmt=fmt, gray_bits=gb, depth_bits=db)
+            # compact+pack on host (ONE buffer); the packed array goes to
+            # slam_step as a plain numpy argument — the jit call performs
+            # the single h2d itself. Measured against explicit device_put
+            # prefetching and 4-frame chunked transfers on the tunnel: the
+            # direct argument is the fastest and the least variable (the
+            # tunnel serializes transfer and compute anyway, so prefetch
+            # buys nothing and extra dispatches cost latency). In delta-wire
+            # mode the manager encodes at dispatch time instead (the host
+            # mirror must advance in lockstep with the device state), so
+            # cpt stays None here.
+            cpt = None if delta else get_enc(k)
             if self.live_dir is not None:
                 self._last_rgb = rgbs[i]
             if (
@@ -281,8 +318,7 @@ class SlamPipeline:
                     cpt = self.manager._wire_encode(rgbs[i], depths[i])
                     cpt2 = self.manager._wire_encode(rgbs[j], depths[j])
                 else:
-                    cpt2 = compact_frame(rgbs[j], depths[j], stride, fmt=fmt,
-                                         gray_bits=gb, depth_bits=db)
+                    cpt2 = get_enc(k + 1)
                 t0 = time.perf_counter()
                 self.manager.add_frame_pair(
                     cpt, float(stamps[i]), cpt2, float(stamps[j])

@@ -293,3 +293,24 @@ def test_two_frame_fused_step_identical(seq):
     st1, st2 = p1.manager.statistics(), p2.manager.statistics()
     assert st2["active_edges"] == st1["active_edges"]
     assert st2["loop_edges"] == st1["loop_edges"]
+
+
+def test_encode_ahead_identical(seq):
+    """tpu_encode_ahead (threaded host compaction in run_arrays) is a pure
+    scheduling change: byte-identical wires, so trajectories and graph
+    topology must match the synchronous path exactly."""
+    poses, rgbs, depths, stamps = seq
+    from rgbdslam_v2_tpu.pipeline import SlamPipeline
+
+    p1 = SlamPipeline(CAM, _params())
+    p1.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+    p2 = SlamPipeline(CAM, _params(tpu_encode_ahead=True))
+    p2.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+
+    assert p2.manager.n_nodes == p1.manager.n_nodes
+    _, t1 = p1.manager.trajectory()
+    _, t2 = p2.manager.trajectory()
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t1))
+    st1, st2 = p1.manager.statistics(), p2.manager.statistics()
+    assert st2["active_edges"] == st1["active_edges"]
+    assert st2["loop_edges"] == st1["loop_edges"]

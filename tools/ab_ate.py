@@ -84,6 +84,25 @@ VARIANTS = {
     # 10-bit looked neutral but was confounded by the 2.3 luma error)
     "ydct27-d10": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
                        tpu_depth_bits=10),
+    # dispatch/device levers at the winning wire point (ATE gate here;
+    # fps verdicts via tools/ab_perf.py Wilcoxon)
+    "ydct27-fps2": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                        tpu_frames_per_step=2),
+    "ydct27-approx": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                          tpu_approx_select=True),
+    "ydct27-encahead": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                            tpu_encode_ahead=True),
+    # the round-5 candidate default (ydct 2.7 luma + 10-bit sqrt depth,
+    # ~210 KB/frame: first draw 80.5 fps, L1 0.0261, L4 0.0199) and its
+    # dispatch levers
+    "r5def": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                  tpu_depth_bits=10),
+    "r5def-fps2": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                       tpu_depth_bits=10, tpu_frames_per_step=2),
+    "r5def-encahead": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                           tpu_depth_bits=10, tpu_encode_ahead=True),
+    "r5def-approx": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                         tpu_depth_bits=10, tpu_approx_select=True),
     "nodrainpipe": dict(tpu_drain_pipelined=False),
     "ydct-nodrainpipe": dict(tpu_ingest_format="ydct",
                              tpu_drain_pipelined=False),
