@@ -160,16 +160,24 @@ def main():
                 # (test_settings.launch: cloud skip 8 x emm skip 1; here
                 # cloud stride 2 x emm skip 4)
                 emm_skip_step=4,
-                # round-4 wire A/B verdict (tools/r4d_ab_queue.sh, on-chip):
-                # 6-bit luma + 10-bit sqrt depth cost L1 ATE 0.0355 -> 8-bit
-                # luma + 12-bit depth restores 0.0223 (L4 0.0190, beats the
-                # reference's 0.0195) at ~same fps (58.6 vs 61.5 median,
-                # within tunnel variance) — precision wins, bytes don't pay.
-                # tpu_wire_delta was exactly ATE-neutral but not faster
-                # (closed-loop DPCM host encode eats the byte savings);
-                # tpu_frames_per_step=2 changed topology with no fps win.
+                # round-5 wire + dispatch verdicts (PARITY.md round-5
+                # frontier + the interleaved Wilcoxon A/Bs, tools/ab_perf.py):
+                # - luma: 2.7 bpp block-DCT restores the yc12-8 L1 band
+                #   (0.0222-0.0285 draws vs 0.0291+ at 2.3 bpp; 3.1 bpp buys
+                #   nothing) at 103 KB vs 307 KB
+                # - depth: 10-bit sqrt is band-neutral at this luma point
+                #   (L1 0.0261 / L4 0.0199 draw); r4's 6/10 regression was
+                #   the 6-bit luma, not the depth
+                # - the frame bound is the fixed per-dispatch client cost,
+                #   NOT wire bytes (yc12-8 vs ydct27 fps-indistinguishable,
+                #   p=0.18; fused 2-frame dispatch 139.6 vs 83.2 fps,
+                #   p=0.0007) -> frames_per_step=4 divides it by 4
+                tpu_ingest_format="ydct",
+                tpu_dct_quality="2.7",
                 tpu_gray_bits=8,
-                tpu_depth_bits=12,
+                tpu_depth_bits=10,
+                tpu_frames_per_step=4,
+                tpu_encode_ahead=True,
                 **overrides,
             )
         )

@@ -189,8 +189,13 @@ PARAM_DEFS = [
        "A/B (tools/ab_ate.py ydct27-encahead); no effect on the delta "
        "wire, whose closed-loop mirror must encode in dispatch order"),
     _p("tpu_frames_per_step", 1,
-       "[tpu] frames fused into one device dispatch (1 or 2; 2 halves the "
-       "per-frame dispatch/transfer round-trips on high-latency links)"),
+       "[tpu] frames fused into one device dispatch (1|2|4|8): divides the "
+       "fixed per-dispatch client/host cost — the round-5 measured frame "
+       "bound once the wire streams pipelined (WIRE.md; step_resident "
+       "11.1 ms vs device busy 4.3 ms at yc12) — by N. Results are "
+       "bit-identical to N sequential steps (device_step.make_slam_stepN; "
+       "equality-tested). The delta wire clamps the group to 2 (its "
+       "closed-loop host mirror is validated at that size)"),
     _p("tpu_ingest_format", "yc12",
        "[tpu] wire format of the per-frame ingest buffer: yc12 (gray_bits "
        "luma + depth_bits sqrt stride-s depth + sparse 4:2:0 chroma, "

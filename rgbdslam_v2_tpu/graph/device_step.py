@@ -392,3 +392,43 @@ def slam_step2(
         cand_dup2[1], cand_dt2[1], edge_starts[1], seeds[1], wire0, **cfg,
     )
     return s1_store, s1_graph, sum0, sum1, wire1
+
+
+@functools.lru_cache(maxsize=None)
+def make_slam_stepN(n: int):
+    """N consecutive frames in ONE device program (tpu_frames_per_step=N).
+
+    The round-5 wire measurements (WIRE.md + the interleaved Wilcoxon A/Bs
+    in PARITY.md) showed the per-frame bound is NOT transfer bytes (puts
+    stream pipelined and mostly hide behind compute) but the fixed
+    per-dispatch client/host cost (~step_resident - device_busy). Fusing N
+    steps into one program divides that fixed cost by N while keeping
+    results identical to N sequential slam_step calls: the same _step_body
+    chain, each frame's comparison reading its predecessor's freshly
+    committed store row inside the dispatch (equality asserted in
+    tests/test_round2_features.py).
+
+    The program is traced once per N (lru_cache) and keyed like slam_step;
+    packedN accepts a stacked (N, L) array or an N-tuple (delta-wire I/P
+    mixes, where buffer lengths differ).
+    """
+
+    @functools.partial(
+        jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(0, 1)
+    )
+    def slam_stepN(
+        store, graph, packedN, new_ids, pred_ids, cand_idxN, cand_dupN,
+        cand_dtN, edge_starts, seeds, wire_prev=None, **cfg,
+    ):
+        sums = []
+        wire = wire_prev
+        for k in range(n):
+            store, graph, s, wire = _step_body(
+                store, graph, packedN[k], new_ids[k], pred_ids[k],
+                cand_idxN[k], cand_dupN[k], cand_dtN[k], edge_starts[k],
+                seeds[k], wire, **cfg,
+            )
+            sums.append(s)
+        return store, graph, tuple(sums), wire
+
+    return slam_stepN

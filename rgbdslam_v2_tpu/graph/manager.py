@@ -1842,8 +1842,8 @@ class GraphManager:
             dts[0], dts[k] = dts[k], dts[0]
         return padded, dup, dts
 
-    def can_pair(self) -> bool:
-        """True when the next two frames may go through the fused two-frame
+    def can_group(self, n: int = 2) -> bool:
+        """True when the next n frames may go through the fused n-frame
         device step (same preconditions as the single fast path, plus at
         least one existing node to anchor poses)."""
         p = self.params
@@ -1855,50 +1855,66 @@ class GraphManager:
             and not p["use_robot_odom_only"]
             and p["min_translation_meter"] <= 0
             and p["min_rotation_degree"] <= 0
-            and self.n_nodes + 2 <= self.n_cap
-            and self.n_edges + 2 * (self.cand_batch + 1) <= self.e_cap
+            and self.n_nodes + n <= self.n_cap
+            and self.n_edges + n * (self.cand_batch + 1) <= self.e_cap
         )
 
+    def can_pair(self) -> bool:
+        return self.can_group(2)
+
     def add_frame_pair(self, compact0, ts0, compact1, ts1) -> None:
-        """TWO consecutive frames in ONE device dispatch (slam_step2):
-        halves the per-frame fixed dispatch/transfer round-trips
-        (tpu_frames_per_step=2). Caller must check can_pair() first."""
-        from .device_step import slam_step2
+        """TWO consecutive frames in ONE device dispatch; see
+        add_frame_group."""
+        self.add_frame_group((compact0, compact1), (ts0, ts1))
+
+    def add_frame_group(self, compacts, tss) -> None:
+        """N consecutive frames in ONE device dispatch (slam_stepN):
+        divides the per-frame fixed dispatch cost — the round-5 bound, see
+        WIRE.md and make_slam_stepN — by N (tpu_frames_per_step=N).
+        Caller must check can_group(len(compacts)) first."""
+        from .device_step import make_slam_stepN
 
         p = self.params
         B = self.cand_batch
-        id0, id1 = self.n_nodes, self.n_nodes + 1
-        pad0, dup0, dts0 = self._frame_slots(id0, ts0)
-        # frame 1 selects against host state that already includes frame 0
-        # (its timestamp; adjacency remains one drain stale, as always)
-        self.timestamps.append(ts0)
-        self.n_nodes += 1
+        n = len(compacts)
+        ids = [self.n_nodes + k for k in range(n)]
+        # frame k selects against host state that already includes frames
+        # < k (their timestamps; adjacency remains one drain stale, as
+        # always) — append as we go, roll back after
+        slots = []
+        added = 0
         try:
-            pad1, dup1, dts1 = self._frame_slots(id1, ts1)
+            for k in range(n):
+                slots.append(self._frame_slots(ids[k], tss[k]))
+                if k < n - 1:
+                    self.timestamps.append(tss[k])
+                    self.n_nodes += 1
+                    added += 1
         finally:
-            self.n_nodes -= 1
-            self.timestamps.pop()
-        e0 = self.n_edges
-        e1 = e0 + B + 1
-        self._seed_counter += 2
-        if len(compact0) == len(compact1) and isinstance(
-            compact0, np.ndarray
-        ) and isinstance(compact1, np.ndarray):
-            packed2 = np.stack([compact0, compact1])  # ONE h2d buffer
-        else:  # delta-wire I/P mix: lengths differ, ship as a 2-tuple
-            packed2 = (compact0, compact1)
-        self.store, self.graph, sum0, sum1, new_wire = slam_step2(
+            for _ in range(added):
+                self.timestamps.pop()
+            self.n_nodes -= added
+        e_starts = [self.n_edges + k * (B + 1) for k in range(n)]
+        self._seed_counter += n
+        if len({len(c) for c in compacts}) == 1 and all(
+            isinstance(c, np.ndarray) for c in compacts
+        ):
+            packed_n = np.stack(compacts)  # ONE h2d buffer
+        else:  # delta-wire I/P mix: lengths differ, ship as a tuple
+            packed_n = tuple(compacts)
+        self.store, self.graph, sums, new_wire = make_slam_stepN(n)(
             self.store,
             self.graph,
-            packed2,
-            np.asarray([id0, id1], np.int32),
-            np.asarray([id0 - 1, id1 - 1], np.int32),
-            np.asarray([pad0, pad1], np.int32),
-            np.asarray([dup0, dup1], bool),
-            np.asarray([dts0, dts1], np.float32),
-            np.asarray([e0, e1], np.int32),
+            packed_n,
+            np.asarray(ids, np.int32),
+            np.asarray([i - 1 for i in ids], np.int32),
+            np.asarray([s[0] for s in slots], np.int32),
+            np.asarray([s[1] for s in slots], bool),
+            np.asarray([s[2] for s in slots], np.float32),
+            np.asarray(e_starts, np.int32),
             np.asarray(
-                [self._seed_counter - 1, self._seed_counter], np.uint32
+                [self._seed_counter - n + 1 + k for k in range(n)],
+                np.uint32,
             ),
             self._wire_dev_init() if self.wire_delta else None,
             **self._step_cfg(),
@@ -1906,34 +1922,33 @@ class GraphManager:
         if self.wire_delta:
             self._wire_dev = new_wire
             self._wire_synced = True
-        for new_id, padded, e_start, summary, ts in (
-            (id0, pad0, e0, sum0, ts0),
-            (id1, pad1, e1, sum1, ts1),
-        ):
-            self.n_edges = e_start + B + 1
+        for k in range(n):
+            self.n_edges = e_starts[k] + B + 1
             self.edge_pairs.extend([None] * (B + 1))
             self.edge_types.extend([-1] * (B + 1))
             if not p["tpu_drain_pipelined"]:
-                summary.copy_to_host_async()
-            self._pending.append((new_id, list(padded), e_start, summary))
+                sums[k].copy_to_host_async()
+            self._pending.append((ids[k], list(slots[k][0]), e_starts[k],
+                                  sums[k]))
             self.n_nodes += 1
-            self.timestamps.append(ts)
-        if p["global_loop_candidates"] > 0 and id1 >= 8 \
+            self.timestamps.append(tss[k])
+        if p["global_loop_candidates"] > 0 and ids[-1] >= 8 \
                 and self._retrieval_scores is None:
             from .loop_closing import global_match_scores_from_store
 
             counts = global_match_scores_from_store(
-                self.store, np.int32(id1), np.int32(self.n_nodes)
+                self.store, np.int32(ids[-1]), np.int32(self.n_nodes)
             )
             counts.copy_to_host_async()
-            self._retrieval_scores = (id1, counts)
-        alert0 = self._starvation_alert(compact0)
-        if self._starvation_alert(compact1) or alert0:
+            self._retrieval_scores = (ids[-1], counts)
+        # evaluate every alert (the tracker is stateful) before combining
+        alerts = [self._starvation_alert(c) for c in compacts]
+        if any(alerts):
             self._drain_pending()  # see _add_frame_device: ladder latency
         self._consume_ready_staged()
         if len(self._pending) >= p["tpu_drain_interval"]:
             self._drain_pending(keep_newest=2)
-        self.nodes_since_optimize += 2
+        self.nodes_since_optimize += n
         if self.nodes_since_optimize >= p["optimizer_skip_step"]:
             self.optimize(
                 iterations=p["online_optimizer_iterations"],

@@ -247,9 +247,12 @@ def decode_luma_dct_np(packed: np.ndarray, H: int, W: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _dev_consts():
-    import jax.numpy as jnp
-
-    return jnp.asarray(SYNTHESIS), [
+    # NOTE: numpy, never jnp — a jnp.asarray built during a jit trace is a
+    # traced constant, and caching one leaks a tracer into every later
+    # retrace in the process (UnexpectedTracerError when a second config
+    # re-traces _prepare_and_extract; hit by multi-variant A/B runs).
+    # numpy constants embed per-trace for free.
+    return SYNTHESIS, [
         (int(BIT_ALLOC[p]), float(QSTEP[p])) for p in range(K_CODED)
     ]
 

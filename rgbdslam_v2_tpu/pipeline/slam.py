@@ -246,8 +246,14 @@ class SlamPipeline:
         from ..graph.manager import maybe_scale_depth
         dscale = p["depth_scaling_factor"]
 
-        pair = p["tpu_frames_per_step"] >= 2
+        # frames fused per device dispatch (tpu_frames_per_step = 1|2|4|8):
+        # the delta wire's closed-loop host mirror is only exercised/tested
+        # at group size 2, so it clamps there
+        ngroup = max(1, min(int(p["tpu_frames_per_step"]), 8))
         delta = self.manager.wire_delta
+        if delta:
+            ngroup = min(ngroup, 2)
+        pair = ngroup >= 2
 
         def enc_at(pos):
             i2 = idxs[pos]
@@ -280,13 +286,14 @@ class SlamPipeline:
 
         try:
             self._run_arrays_loop(idxs, rgbs, depths, stamps, gt_poses,
-                                  pair, delta, get_enc)
+                                  ngroup, delta, get_enc)
         finally:
             if ex is not None:
                 ex.shutdown(wait=False, cancel_futures=True)
 
     def _run_arrays_loop(self, idxs, rgbs, depths, stamps, gt_poses,
-                         pair, delta, get_enc):
+                         ngroup, delta, get_enc):
+        pair = ngroup >= 2
         k = 0
         while k < len(idxs):
             i = idxs[k]
@@ -303,40 +310,45 @@ class SlamPipeline:
             cpt = None if delta else get_enc(k)
             if self.live_dir is not None:
                 self._last_rgb = rgbs[i]
+            g = min(ngroup, len(idxs) - k)
             if (
                 pair
                 and not self.paused
-                and k + 1 < len(idxs)
-                and self.manager.can_pair()
+                and g >= 2
+                and self.manager.can_group(g)
             ):
-                # two frames fused into ONE device dispatch (slam_step2)
-                j = idxs[k + 1]
+                # g frames fused into ONE device dispatch (slam_stepN)
+                group = idxs[k : k + g]
                 if delta:
-                    # sequential encodes: frame j's P-frame predicts from
-                    # frame i's freshly advanced mirror, exactly as the
+                    # sequential encodes: each P-frame predicts from its
+                    # predecessor's freshly advanced mirror, exactly as the
                     # fused device program reconstructs them in order
-                    cpt = self.manager._wire_encode(rgbs[i], depths[i])
-                    cpt2 = self.manager._wire_encode(rgbs[j], depths[j])
+                    cpts = [self.manager._wire_encode(rgbs[q], depths[q])
+                            for q in group]
                 else:
-                    cpt2 = get_enc(k + 1)
+                    cpts = [cpt] + [get_enc(k + m) for m in range(1, g)]
                 t0 = time.perf_counter()
-                self.manager.add_frame_pair(
-                    cpt, float(stamps[i]), cpt2, float(stamps[j])
+                self.manager.add_frame_group(
+                    cpts, [float(stamps[q]) for q in group]
                 )
                 self.wall_time += time.perf_counter() - t0
-                self.n_processed += 2
+                self.n_processed += g
                 if self.params["octomap_online_creation"]:
                     # same per-frame post-commit work process_frame does —
-                    # both paired nodes entered the graph (keep_all fast path)
-                    self._online_octomap_insert(self.manager.n_nodes - 2)
-                    self._online_octomap_insert(self.manager.n_nodes - 1)
+                    # every grouped node entered the graph (keep_all fast
+                    # path)
+                    for m in range(g):
+                        self._online_octomap_insert(
+                            self.manager.n_nodes - g + m)
                 if self.live_dir is not None:
-                    # pane shows frame j, whose node is the last committed
+                    # pane shows the group's last frame, whose node is the
+                    # last committed
+                    j = group[-1]
                     self._live_frame = (
                         rgbs[j], depths[j], self.manager.n_nodes - 1
                     )
-                self._live_refresh(count=2)
-                k += 2
+                self._live_refresh(count=g)
+                k += g
                 continue
             # anchor the fixed first vertex at the GT of the first frame
             # actually processed (idxs[0] may be > 0 with skip_first_n_frames)

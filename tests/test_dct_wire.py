@@ -236,3 +236,25 @@ def test_ydct_falls_back_when_not_divisible():
         tpu_candidate_batch=2, max_keypoints=64,
     )))
     assert m.ingest_fmt in ("yc12", "raw")
+
+
+def test_ydct_retrace_second_config_no_tracer_leak():
+    """Two static configs tracing the ydct-decoding step program in ONE
+    process: _dev_consts must not cache a traced constant from the first
+    trace (UnexpectedTracerError regression — hit by multi-variant A/B
+    queues, tools/ab_ate.py r5def-approx after r5def)."""
+    from rgbdslam_v2_tpu.config import ParameterServer
+    from rgbdslam_v2_tpu.core.camera import Intrinsics
+    from rgbdslam_v2_tpu.pipeline import SlamPipeline
+
+    cam = Intrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+                     width=160, height=120)
+    rgb = np.repeat(_test_image(120, 160)[..., None], 3, axis=2)
+    depth = np.full((120, 160), 9000, np.uint16)
+    base = dict(tpu_ingest_format="ydct", max_keypoints=64, tpu_max_nodes=8,
+                tpu_max_edges=64, tpu_candidate_batch=2, keep_all_nodes=True)
+    for k, over in enumerate((dict(), dict(tpu_approx_select=True))):
+        pipe = SlamPipeline(cam, ParameterServer(dict(base, **over)))
+        for t in range(2):
+            pipe.process_frame(rgb, depth, t / 30.0)
+        assert pipe.manager.n_nodes == 2, (k, over)

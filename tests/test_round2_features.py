@@ -314,3 +314,25 @@ def test_encode_ahead_identical(seq):
     st1, st2 = p1.manager.statistics(), p2.manager.statistics()
     assert st2["active_edges"] == st1["active_edges"]
     assert st2["loop_edges"] == st1["loop_edges"]
+
+
+def test_four_frame_fused_step_identical(seq):
+    """tpu_frames_per_step=4 (make_slam_stepN: N frames in one device
+    dispatch) must produce identical trajectories/edges to the single-frame
+    path — same body, same order, only the dispatch granularity differs."""
+    poses, rgbs, depths, stamps = seq
+    from rgbdslam_v2_tpu.pipeline import SlamPipeline
+
+    p1 = SlamPipeline(CAM, _params())
+    p1.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+    p4 = SlamPipeline(CAM, _params(tpu_frames_per_step=4))
+    p4.run_arrays(rgbs, depths, stamps, gt_poses=poses)
+
+    assert p4.manager.n_nodes == p1.manager.n_nodes
+    _, t1 = p1.manager.trajectory()
+    _, t4 = p4.manager.trajectory()
+    np.testing.assert_allclose(np.asarray(t4), np.asarray(t1),
+                               rtol=0, atol=1e-6)
+    st1, st4 = p1.manager.statistics(), p4.manager.statistics()
+    assert st4["active_edges"] == st1["active_edges"]
+    assert st4["loop_edges"] == st1["loop_edges"]

@@ -99,6 +99,14 @@ VARIANTS = {
                   tpu_depth_bits=10),
     "r5def-fps2": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
                        tpu_depth_bits=10, tpu_frames_per_step=2),
+    "r5def-fps4": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                       tpu_depth_bits=10, tpu_frames_per_step=4),
+    "r5def-fps8": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                       tpu_depth_bits=10, tpu_frames_per_step=8),
+    # the round-5 bench configuration (everything that won its Wilcoxon)
+    "r5best": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
+                   tpu_depth_bits=10, tpu_frames_per_step=4,
+                   tpu_encode_ahead=True),
     "r5def-encahead": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
                            tpu_depth_bits=10, tpu_encode_ahead=True),
     "r5def-approx": dict(tpu_ingest_format="ydct", tpu_dct_quality="2.7",
