@@ -43,6 +43,29 @@ from pathlib import Path
 BASELINE_FPS = 16.6  # reference fr1_desk end-to-end (test/README:106)
 
 
+def _release_pipes(*ps):
+    """Drop a pipeline's device buffers (HBM) before the next phase.
+
+    One v5e chip holds the 5 fps windows + the 4096-node fr2 graph + the
+    spin360 pipe only if each phase's buffers are actually freed in
+    between; reference-cycle garbage keeps jax.Arrays alive past the
+    rebinding, so break the cycles explicitly and collect. Shared
+    module-level constants (DCT tables, FAST offsets, jit caches) are
+    refcounted elsewhere and survive — only this pipe's state dies."""
+    import gc
+
+    for p in ps:
+        try:
+            p.manager.__dict__.clear()
+        except Exception:
+            pass
+        try:
+            p.__dict__.clear()
+        except Exception:
+            pass
+    gc.collect()
+
+
 def wait_for_backend(attempts: int = None, probe_timeout: float = None):
     """Gate on the device backend actually answering.
 
@@ -251,6 +274,12 @@ def main():
     print(f"[bench] 5-level protocol ATE (L0..L4, median of {len(pipes)} windows): "
           f"{ate_str} m", file=sys.stderr)
 
+    # phase 1 is done with every window but the median one (still needed
+    # by the stage/roofline tables): free their HBM before the fr2-scale
+    # and hard-sequence phases allocate their own graphs.
+    _release_pipes(*[pw for pw in pipes if pw is not pipe])
+    pipes = [pipe]
+
     # BENCH_PHASE1_ONLY=1: headline fps + protocol ATE only — the A/B
     # queue uses it to compare wire configs in ~3 min instead of ~12
     phase1_only = os.environ.get("BENCH_PHASE1_ONLY", "") == "1"
@@ -311,7 +340,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "end-to-end SLAM throughput (median of " + str(len(pipes)) + " windows; best "
+                    "end-to-end SLAM throughput (median of " + str(n_windows) + " windows; best "
                     f"{best_fps:.1f}), 640x480 RGB-D, ORB-600, 8 candidates, "
                     "RANSAC-200, EMM on, depth noise 0.01z^2 + u16 "
                     "quantization, "
@@ -337,6 +366,15 @@ def _fr2_scale_phase(make_pipe, rgbs, depths, n_frames, warmup):
     import numpy as np
 
     pipe = make_pipe(n_nodes=4096, n_edges=65536)
+    try:
+        return _fr2_scale_body(pipe, rgbs, depths, n_frames, warmup)
+    finally:
+        _release_pipes(pipe)
+
+
+def _fr2_scale_body(pipe, rgbs, depths, n_frames, warmup):
+    import numpy as np
+
     pipe.params.set("optimizer_skip_step", 10)
     # warm-up: the 4096-node buffer shapes compile fresh programs; keep
     # that out of chunk 0's timing
@@ -366,8 +404,12 @@ def _fr2_scale_phase(make_pipe, rgbs, depths, n_frames, warmup):
     chi2 = pipe.manager.optimize(blocking=True)
     opt_s = time.perf_counter() - t0
     stats = pipe.manager.statistics()
+    n_it = getattr(pipe.manager, "last_optimize_iters", -1)
     print(f"[bench] fr2-scale final optimize ({stats['nodes']} nodes, "
-          f"{stats['active_edges']} edges, PCG): {opt_s:.1f}s chi2={chi2:.1f}",
+          f"{stats['active_edges']} edges, PCG): {opt_s:.1f}s chi2={chi2:.1f} "
+          f"({n_it} LM iterations; wall includes the blocking tunnel pull — "
+          "cross-session draws 3.3-122s at identical iteration bounds are "
+          "tunnel mood, see WIRE.md)",
           file=sys.stderr)
     return dict(nodes=stats["nodes"], edges=stats["active_edges"],
                 chunk_fps=chunk_fps, opt_s=opt_s)
@@ -410,6 +452,19 @@ def _hard_sequence_phase(make_pipe, warmup):
           file=sys.stderr)
     stamps = np.arange(n) / 30.0
     pipe = make_pipe()
+    try:
+        _hard_sequence_body(pipe, poses, rgbs, depths, stamps, n, warmup)
+    finally:
+        _release_pipes(pipe)
+
+
+def _hard_sequence_body(pipe, poses, rgbs, depths, stamps, n, warmup):
+    import tempfile
+
+    import numpy as np
+
+    from rgbdslam_v2_tpu.graph.manager import EDGE_CONST_POSITION
+
     for i in range(warmup):
         pipe.process_frame(rgbs[i], depths[i], float(stamps[i]),
                            gt_pose=poses[0] if i == 0 else None)

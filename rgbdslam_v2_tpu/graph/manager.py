@@ -2571,14 +2571,20 @@ class GraphManager:
                 p["backend_solver"], "auto"
             )
             self._apply_fixation()
-            self.graph, chi2, _ = optimize(
+            self.graph, chi2, n_it = optimize(
                 self.graph,
                 iterations=iterations or p["optimizer_iterations"],
                 huber_delta=p["huber_delta"],
                 pcg_iters=pcg_iters if pcg_iters is not None else 64,
                 solver=solver,
             )
-            return float(chi2) if blocking else float("nan")
+            if blocking:
+                out = float(chi2)
+                # diagnostic for wall-time draws: a 10x swing with the same
+                # iteration count is the tunnel, not the optimizer
+                self.last_optimize_iters = int(n_it)
+                return out
+            return float("nan")
         finally:
             self.nodes_since_optimize = 0
             # Non-blocking optimize drained with keep_newest=2: those frames'

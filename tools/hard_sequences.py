@@ -26,6 +26,14 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+if "--cpu" in sys.argv:
+    # The env's sitecustomize imports jax before user code, so the
+    # JAX_PLATFORMS env var is silently ignored; the config API is the
+    # only reliable way to keep this accuracy table off the TPU tunnel.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from rgbdslam_v2_tpu.config import ParameterServer
 from rgbdslam_v2_tpu.core.camera import Intrinsics, TUM_DEFAULT
 from rgbdslam_v2_tpu.io import SyntheticWorld, render_sequence
@@ -174,6 +182,8 @@ def run_sequence(cam, seq, params, out_dir, rescue_counts: bool = False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled at import time)")
     ap.add_argument("--fr2", action="store_true")
     ap.add_argument("--out", default="HARD_SEQUENCES.md")
     ap.add_argument("--eval-dir", default="/tmp/hard_seq_eval")
@@ -192,6 +202,21 @@ def main():
         )
         print(f"[hard] {name}: ATE {rows[name]['ate']} "
               f"fps {rows[name]['fps']:.1f}", file=sys.stderr)
+        if name == "dark_stretch":
+            # second config: fast-path retroactive GICP rescue (the
+            # manager's drain-batched _retro_rescue_kernel; bound asserted
+            # in tests/test_hard_sequences.py::test_dark_stretch_icp_rescue_fires)
+            rows["dark_stretch+icp"] = run_sequence(
+                cam, seq,
+                protocol_params(
+                    args.small, use_icp=True, icp_max_iterations=12,
+                ),
+                Path(args.eval_dir) / "dark_stretch_icp",
+            )
+            r = rows["dark_stretch+icp"]
+            print(f"[hard] dark_stretch+icp: ATE {r['ate']} rescue on "
+                  f"{r['icp_rescue_frames']} frames "
+                  f"({r['icp_rescue_edges']} edges)", file=sys.stderr)
         if name == "low_texture":
             # second config: ICP rescue measurement (slow path)
             rows["low_texture+icp"] = run_sequence(
